@@ -1,0 +1,29 @@
+"""fvd_tpu — a TPU-native fake-video (deepfake + misinformation) detection framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+``MrBottleTree/fake-video-detection-engine`` (the reference; see SURVEY.md):
+a 16-node analysis DAG (ingest, audio, vision, cross-modal, web-evidence,
+fusion) producing a single ``fake_probability`` per video.
+
+Design stance (not a port):
+
+* Decoded frames land once as HBM-resident ``uint8[T, H, W, 3]`` tensors;
+  vision nodes are batched JAX/Pallas programs over the whole time axis
+  instead of per-frame Python loops calling C++ libraries.
+* The audio front-end (resample, STFT/mel, onsets, RMS envelope) is an
+  on-device kernel pipeline instead of librosa/ffmpeg subprocesses.
+* Lip-sync scoring (reference ``nodes/C_nodes/c1_lip_sync_score.py``) is a
+  single fused windowed cross-correlation kernel.
+* The LangGraph scheduler is replaced by a thin async host DAG runner whose
+  nodes are functions ``State -> StateDelta`` with last-writer-wins merge
+  (reference ``main.py:19-54``).
+* External services (LLM, web search, video download) are host-side
+  pluggable providers with deterministic stub implementations.
+* Scale-out is expressed with ``jax.sharding.Mesh`` + ``pjit``/``shard_map``
+  (data axis over videos, time axis with halo exchange for lip-sync).
+"""
+
+__version__ = "0.1.0"
+
+from fvd_tpu.state import State, StateDelta, merge_states  # noqa: F401
+from fvd_tpu.config import Config, default_config  # noqa: F401

@@ -1,0 +1,210 @@
+"""Async superstep scheduler.
+
+Replaces LangGraph's Pregel loop (reference ``main.py:343`` / ``app.py:258``)
+with a small asyncio scheduler:
+
+* a node becomes runnable the moment all its parents completed (no global
+  supersteps — strictly more parallel than the reference's barrier model
+  while producing the same results under last-writer-wins merge);
+* node functions are sync ``State -> StateDelta`` callables executed in a
+  thread pool, so host-I/O nodes (web search, LLM calls) overlap with
+  device-compute nodes — the reference gets this only *within* E2 via its
+  ThreadPoolExecutor (``e2:326-345``);
+* deltas are merged in completion order (``overwrite`` semantics,
+  ``main.py:19-20``);
+* every transition is emitted as a :class:`NodeEvent`, feeding the CLI
+  progress line and the status board (``app.py:224-313`` analog).
+
+``Scheduler.invoke`` is the ``app.invoke`` analog; ``Scheduler.stream``
+yields events as they happen (the ``app.stream`` analog).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import AsyncIterator, Callable, Dict, Iterator, List, Optional, Set
+
+from fvd_tpu.runtime.dag import DAG
+from fvd_tpu.runtime.tracer import get_tracer
+from fvd_tpu.state import State, StateDelta
+
+
+@dataclass
+class NodeEvent:
+    node: str
+    status: str  # "running" | "done" | "error"
+    t: float = field(default_factory=time.monotonic)
+    elapsed_s: Optional[float] = None
+    error: Optional[str] = None
+    delta: Optional[StateDelta] = None
+
+
+class NodeFailure(RuntimeError):
+    def __init__(self, node: str, cause: BaseException):
+        super().__init__(f"Node {node!r} failed: {cause!r}")
+        self.node = node
+        self.cause = cause
+
+
+class Scheduler:
+    """Dependency-driven executor for a :class:`DAG` over a :class:`State`."""
+
+    def __init__(
+        self,
+        dag: DAG,
+        max_workers: int = 8,
+        on_event: Optional[Callable[[NodeEvent], None]] = None,
+        fail_fast: bool = True,
+    ):
+        dag.validate()
+        self.dag = dag
+        self.max_workers = max_workers
+        self.on_event = on_event
+        self.fail_fast = fail_fast
+
+    # ------------------------------------------------------------------
+    async def arun(self, state: State) -> State:
+        events: List[NodeEvent] = []
+
+        async def sink(ev: NodeEvent):
+            events.append(ev)
+
+        return await self._drive(state, sink)
+
+    def invoke(self, state: State) -> State:
+        """Synchronous full run (the ``app.invoke`` analog, main.py:402)."""
+        return asyncio.run(self.arun(state))
+
+    def stream(self, state: State) -> Iterator[NodeEvent]:
+        """Run the graph, yielding events in order (``app.stream`` analog).
+
+        The final merged state is attached to the terminal event as
+        ``delta={'__final_state__': state}``.
+        """
+        loop = asyncio.new_event_loop()
+        queue: "asyncio.Queue[Optional[NodeEvent]]" = asyncio.Queue()
+
+        async def sink(ev: NodeEvent):
+            await queue.put(ev)
+
+        async def runner():
+            try:
+                final = await self._drive(state, sink)
+                await queue.put(
+                    NodeEvent(node="__end__", status="done", delta={"__final_state__": final})
+                )
+            except Exception as e:  # surface to consumer
+                await queue.put(NodeEvent(node="__end__", status="error", error=repr(e)))
+            await queue.put(None)
+
+        task = loop.create_task(runner())
+        try:
+            while True:
+                ev = loop.run_until_complete(queue.get())
+                if ev is None:
+                    break
+                yield ev
+            loop.run_until_complete(task)
+        finally:
+            loop.close()
+
+    # ------------------------------------------------------------------
+    async def _drive(
+        self, state: State, sink: Callable[[NodeEvent], "asyncio.Future"]
+    ) -> State:
+        parents = self.dag.parents()
+        children = self.dag.children()
+        pending: Set[str] = set(self.dag.nodes)
+        done: Set[str] = set()
+        running: Set[str] = set()
+        failed: Dict[str, str] = {}
+        tracer = get_tracer()
+
+        loop = asyncio.get_event_loop()
+        executor = ThreadPoolExecutor(
+            max_workers=self.max_workers, thread_name_prefix="fvd-node"
+        )
+        inflight: Dict["asyncio.Future", str] = {}
+        current = state
+
+        async def emit(ev: NodeEvent):
+            if self.on_event:
+                self.on_event(ev)
+            await sink(ev)
+
+        def runnable() -> List[str]:
+            return [
+                n
+                for n in self.dag.topological_order()
+                if n in pending and n not in running and parents[n] <= done
+            ]
+
+        try:
+            while pending:
+                for name in runnable():
+                    spec = self.dag.nodes[name]
+                    running.add(name)
+                    await emit(NodeEvent(node=name, status="running"))
+                    snapshot = current  # read-only view for the node
+
+                    def call(spec=spec, snapshot=snapshot):
+                        with tracer.span(f"node/{spec.name}"):
+                            return spec.fn(snapshot)
+
+                    fut = loop.run_in_executor(executor, call)
+                    inflight[fut] = name
+
+                if not inflight:
+                    if pending:
+                        # Remaining nodes are blocked on failed ancestors.
+                        break
+                    continue
+
+                finished, _ = await asyncio.wait(
+                    list(inflight), return_when=asyncio.FIRST_COMPLETED
+                )
+                for fut in finished:
+                    name = inflight.pop(fut)
+                    running.discard(name)
+                    pending.discard(name)
+                    started = None
+                    try:
+                        delta = fut.result()
+                        merged = current.apply(delta)
+                    except BaseException as e:
+                        failed[name] = "".join(
+                            traceback.format_exception_only(type(e), e)
+                        ).strip()
+                        await emit(
+                            NodeEvent(node=name, status="error", error=failed[name])
+                        )
+                        if self.fail_fast:
+                            raise NodeFailure(name, e) from e
+                        # skip descendants
+                        self._poison_descendants(name, children, pending, failed)
+                        continue
+                    current = merged
+                    done.add(name)
+                    await emit(NodeEvent(node=name, status="done", delta=delta))
+        finally:
+            executor.shutdown(wait=False, cancel_futures=True)
+
+        if failed and self.fail_fast:
+            name, err = next(iter(failed.items()))
+            raise NodeFailure(name, RuntimeError(err))
+        return current
+
+    @staticmethod
+    def _poison_descendants(name, children, pending, failed):
+        stack = [name]
+        while stack:
+            n = stack.pop()
+            for c in children[n]:
+                if c in pending:
+                    pending.discard(c)
+                    failed[c] = f"skipped: ancestor {name!r} failed"
+                    stack.append(c)
