@@ -1,0 +1,73 @@
+"""A3: audio onsets + fps-aligned RMS envelope.
+
+Reference behavior (``nodes/A_nodes/a3_audio_onsets.py:9-78``): load
+``audio_16k.wav``, detect onsets (librosa), compute an RMS envelope with
+``hop = int(sr/fps)`` and ``frame_length = 2*hop`` interpolated to
+``duration*fps`` samples, and write ``audio_onsets``/``onset_count``/
+``audio_envelope`` plus ``metadata.onset_detection_method``.
+
+TPU-native: one device program — STFT -> mel (MXU matmul) -> spectral-flux
+onset envelope -> vectorized peak picking, plus the framed RMS reduction —
+no librosa, no host DSP.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from fvd_tpu.config import Config, default_config
+from fvd_tpu.ops import spectral
+from fvd_tpu.runtime.debug import dump_node_debug
+from fvd_tpu.state import State, StateDelta
+from fvd_tpu.utils.wav import read_wav, to_mono
+
+
+def run(state: State, config: Config = default_config()) -> StateDelta:
+    output_dir = state.get("data_dir")
+    audio_path = os.path.join(output_dir or "", "audio_16k.wav")
+    if not output_dir or not os.path.exists(audio_path):
+        print(f"A3: audio file not found at {audio_path}")
+        return {}
+
+    cfg = config.audio
+    samples, sr = read_wav(audio_path)
+    y = jnp.asarray(to_mono(samples), jnp.float32)
+
+    onset_times = spectral.detect_onsets(
+        y,
+        sr,
+        n_fft=cfg.n_fft,
+        hop=cfg.hop_length,
+        n_mels=cfg.n_mels,
+        pre_max_s=cfg.peak_pre_max_s,
+        post_max_s=cfg.peak_post_max_s,
+        pre_avg_s=cfg.peak_pre_avg_s,
+        post_avg_s=cfg.peak_post_avg_s,
+        wait_s=cfg.peak_wait_s,
+        delta=cfg.peak_delta,
+    )
+    onset_list = [float(t) for t in onset_times]
+
+    metadata = dict(state.get("metadata", {}) or {})
+    fps = metadata.get("fps", 30.0)
+    duration = metadata.get("duration")
+
+    envelope = spectral.fps_aligned_envelope(y, sr, fps, duration)
+    envelope_list = np.asarray(envelope).tolist()
+
+    metadata["onset_detection_method"] = "spectral_flux_peak_pick"
+
+    dump_node_debug(
+        output_dir,
+        "A3",
+        {"onset_count": len(onset_list), "envelope_len": len(envelope_list), "fps": fps},
+    )
+    return {
+        "audio_onsets": onset_list,
+        "onset_count": len(onset_list),
+        "audio_envelope": envelope_list,
+        "metadata": metadata,
+    }
