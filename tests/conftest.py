@@ -7,13 +7,19 @@ of the reference's mock-the-model unit-test style (SURVEY.md §4).
 
 import os
 
-# Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# The axon harness pins jax_platforms to "axon,cpu" at import time, which
+# overrides the env var — force CPU explicitly so tests never touch the
+# single real TPU chip.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
