@@ -1,0 +1,75 @@
+"""CLI entry point.
+
+Mirrors the reference CLI contract (``main.py:345-411``):
+
+    python -m fvd_tpu.cli <input_path> [label] [--debug] [--frontend]
+
+prints ``Fake probability: <p>`` on the last line (the batch harness parses
+this, reference batch_test.py:118-121).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from fvd_tpu.config import default_config
+from fvd_tpu.graph import NODE_ORDER, build_graph
+from fvd_tpu.runtime.scheduler import Scheduler
+from fvd_tpu.runtime.status import StatusBoard
+from fvd_tpu.state import State
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="Fake Video Detection Engine (TPU)")
+    parser.add_argument("input_path", nargs="?", help="Path to video file or URL")
+    parser.add_argument("label", nargs="?", type=int, help="Optional label (0 or 1)")
+    parser.add_argument("--debug", action="store_true", help="Enable debug mode")
+    parser.add_argument("--frontend", action="store_true", help="Launch the web UI")
+    args = parser.parse_args(argv)
+
+    if args.frontend:
+        from fvd_tpu.ui.app import serve
+
+        serve(prefill_url=args.input_path, debug=args.debug)
+        return 0
+
+    if not args.input_path:
+        parser.error("input_path is required when not using --frontend mode")
+    if args.label is not None and args.label not in (0, 1):
+        print("Label must be 0 or 1 if provided.")
+        return 1
+
+    state = State(input_path=args.input_path, debug=args.debug)
+    if args.label is not None:
+        state.label = args.label
+
+    config = default_config().replace(debug=args.debug)
+    dag = build_graph(config)
+    board = StatusBoard(NODE_ORDER, dag.edges())
+
+    print(f"Starting processing with debug={'ON' if args.debug else 'OFF'}...")
+    final_state = None
+    for ev in Scheduler(dag).stream(state):
+        if ev.node == "__end__":
+            if ev.status == "error":
+                print(f"Pipeline failed: {ev.error}")
+                return 1
+            final_state = ev.delta["__final_state__"]
+        elif ev.status == "done":
+            board.mark_done([ev.node])
+            if args.debug:
+                print("  ".join(board.render_lines()))
+        elif ev.status == "error":
+            print(f"Node {ev.node} failed: {ev.error}")
+
+    if final_state is None:
+        return 1
+    if args.debug:
+        print("Final features:", final_state.features)
+    print("Fake probability:", final_state.fake_probability)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

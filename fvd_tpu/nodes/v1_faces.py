@@ -1,0 +1,164 @@
+"""V1: keyframe extraction + face detection.
+
+Reference behavior (``nodes/V_nodes/v1_keyframes_facetrack.py:6-217``): one
+frame per second (frame_id = int(t*fps)); OpenCV-DNN SSD forward per frame;
+keep detections with confidence >= 0.5, clip to frame, drop non-positive
+boxes, sort by area desc, drop faces under 0.5% of frame area; largest is
+``is_main``; save keyframe JPEGs and 20%-padded face crops; emit
+``keyframes``, ``face_detections`` and metadata (video_fps, total_frames,
+face_detection_model).
+
+TPU-native: frames for ALL keyframes are decoded once into a single
+``uint8[T, H, W, 3]`` batch and the detector runs as ONE batched forward
+(fvd_tpu.providers.vision.FaceDetectorProvider) instead of a per-frame
+Python loop around a C++ DNN.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from fvd_tpu.config import Config, default_config
+from fvd_tpu.providers import Providers, get_providers
+from fvd_tpu.providers.media import VideoReader
+from fvd_tpu.runtime.debug import dump_node_debug
+from fvd_tpu.state import State, StateDelta
+
+
+def _save_jpeg(path: str, rgb: np.ndarray) -> None:
+    import cv2
+
+    cv2.imwrite(path, cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+
+
+def run(
+    state: State,
+    config: Config = default_config(),
+    providers: Optional[Providers] = None,
+) -> StateDelta:
+    providers = providers or get_providers()
+    cfg = config.face_detect
+    output_dir = state.get("data_dir")
+    if not output_dir or not os.path.exists(output_dir):
+        print(f"V1: data directory not found at {output_dir}")
+        return {}
+
+    video_path = os.path.join(output_dir, "video.mp4")
+    reader = VideoReader()
+    meta = reader.probe(video_path)
+    if meta is None:
+        print(f"V1: cannot open video at {video_path}")
+        return {}
+
+    keyframes_dir = os.path.join(output_dir, "keyframes")
+    faces_dir = os.path.join(output_dir, "faces")
+    os.makedirs(keyframes_dir, exist_ok=True)
+    os.makedirs(faces_dir, exist_ok=True)
+
+    # 1 frame/sec grid: frame_id = int(t * fps), t = 0, 1, 2, ... (v1:90-183)
+    frame_ids: List[int] = []
+    t = 0.0
+    while True:
+        fid = int(t * meta.fps)
+        if fid >= meta.frame_count:
+            break
+        frame_ids.append(fid)
+        t += 1.0
+
+    frames, kept_ids = reader.sample(video_path, frame_ids)
+    if len(kept_ids) == 0:
+        print("V1: no frames decoded.")
+        return {}
+
+    # ONE batched detector forward over the whole keyframe tensor.
+    detector = providers.face_detector
+    if detector is not None:
+        detections_per_frame = detector.detect_batch(frames)
+        model_name = detector.model_name
+    else:
+        print("V1: no face detector configured; extracting keyframes only.")
+        detections_per_frame = [[] for _ in kept_ids]
+        model_name = "none"
+
+    frame_area = meta.width * meta.height
+    keyframes_paths: List[str] = []
+    face_detections: List[Dict[str, Any]] = []
+
+    for frame, fid, dets in zip(frames, kept_ids, detections_per_frame):
+        timestamp = fid / meta.fps
+        keyframe_path = os.path.join(keyframes_dir, f"frame_{fid:06d}.jpg")
+        _save_jpeg(keyframe_path, frame)
+        keyframes_paths.append(keyframe_path)
+
+        # Filter + clip (v1:118-141).
+        face_list = []
+        for d in dets:
+            if d.confidence < cfg.confidence_threshold:
+                continue
+            x1 = max(0, int(d.x1))
+            y1 = max(0, int(d.y1))
+            x2 = min(meta.width, int(d.x2))
+            y2 = min(meta.height, int(d.y2))
+            w, h = x2 - x1, y2 - y1
+            if w <= 0 or h <= 0:
+                continue
+            face_list.append(
+                {"x": x1, "y": y1, "w": w, "h": h, "area": w * h, "confidence": float(d.confidence)}
+            )
+        face_list.sort(key=lambda f: f["area"], reverse=True)
+
+        detections_in_frame = []
+        for i, face in enumerate(face_list):
+            if face["area"] < frame_area * cfg.min_area_frac:
+                continue
+            x, y, w, h = face["x"], face["y"], face["w"], face["h"]
+            pad_w = int(w * cfg.crop_pad_frac)
+            pad_h = int(h * cfg.crop_pad_frac)
+            cx1 = max(0, x - pad_w)
+            cy1 = max(0, y - pad_h)
+            cx2 = min(meta.width, x + w + pad_w)
+            cy2 = min(meta.height, y + h + pad_h)
+            crop = frame[cy1:cy2, cx1:cx2]
+            face_path = os.path.join(faces_dir, f"face_{fid:06d}_{i}.jpg")
+            _save_jpeg(face_path, crop)
+            detections_in_frame.append(
+                {
+                    "bbox": {"x": x, "y": y, "w": w, "h": h},
+                    "confidence": face["confidence"],
+                    "is_main": i == 0,
+                    "crop_path": face_path,
+                    "crop": crop,  # in-memory fast path for V5 (no re-read)
+                }
+            )
+
+        face_detections.append(
+            {
+                "frame_id": fid,
+                "timestamp": timestamp,
+                "faces": detections_in_frame,
+                "keyframe_path": keyframe_path,
+            }
+        )
+
+    metadata = dict(state.get("metadata", {}) or {})
+    metadata["video_fps"] = meta.fps
+    metadata["total_frames"] = meta.frame_count
+    metadata["face_detection_model"] = model_name
+
+    dump_node_debug(
+        output_dir,
+        "V1",
+        {
+            "keyframes": len(keyframes_paths),
+            "faces": sum(len(d["faces"]) for d in face_detections),
+            "fps": meta.fps,
+        },
+    )
+    return {
+        "keyframes": keyframes_paths,
+        "face_detections": face_detections,
+        "metadata": metadata,
+    }

@@ -1,0 +1,76 @@
+"""V2: OCR over keyframes.
+
+Reference behavior (``nodes/V_nodes/v2_ocr_overlays.py:5-80``): EasyOCR over
+each keyframe; keeps ``{text, confidence, bbox}`` per detection; frames with
+no text are omitted; no keyframes -> no-op; writes
+``metadata.ocr_model``.
+
+The OCR engine is a provider; production can wire a JAX detection +
+recognition stack, hermetic runs use Null/Scripted (exactly how the
+reference's tests run, ``tests/test_v2_ocr_overlays.py``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from fvd_tpu.config import Config, default_config
+from fvd_tpu.providers import Providers, get_providers
+from fvd_tpu.runtime.debug import dump_node_debug
+from fvd_tpu.state import State, StateDelta
+
+
+def _load_image(path: str) -> Optional[np.ndarray]:
+    if not os.path.exists(path):
+        return None
+    import cv2
+
+    bgr = cv2.imread(path)
+    if bgr is None:
+        return None
+    return cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+
+
+def run(
+    state: State,
+    config: Config = default_config(),
+    providers: Optional[Providers] = None,
+) -> StateDelta:
+    providers = providers or get_providers()
+    keyframes = state.get("keyframes", []) or []
+    if not keyframes:
+        print("V2: no keyframes found; skipping OCR.")
+        return {}
+
+    ocr_results: List[dict] = []
+    for kf_path in keyframes:
+        image = _load_image(kf_path)
+        if image is None:
+            continue
+        detections = providers.ocr.read_text(image)
+        frame_text = [
+            {
+                "text": d.get("text", ""),
+                "confidence": float(d.get("confidence", 0.0)),
+                "bbox": [[int(p[0]), int(p[1])] for p in d.get("bbox", [])],
+            }
+            for d in detections
+        ]
+        if frame_text:
+            ocr_results.append({"keyframe_path": kf_path, "detections": frame_text})
+
+    metadata = dict(state.get("metadata", {}) or {})
+    metadata["ocr_model"] = providers.ocr.model_name
+
+    dump_node_debug(
+        state.get("data_dir"),
+        "V2",
+        {
+            "frames_with_text": len(ocr_results),
+            "detections": sum(len(fr["detections"]) for fr in ocr_results),
+        },
+    )
+    return {"ocr_results": ocr_results, "metadata": metadata}

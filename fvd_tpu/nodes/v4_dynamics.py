@@ -1,0 +1,192 @@
+"""V4: blink (EAR) + head-pose dynamics.
+
+Reference behavior (``nodes/V_nodes/v4_blink_headpose_dynamics.py``): 5 fps
+sampling, 3D landmarks, IoU tracking with 10%-padded active box, EAR from
+eye landmarks 36..48 on OneEuro-smoothed landmarks (min_cutoff 0.5,
+beta 0.1), SixDRepNet pose on the padded crop smoothed with a *stronger*
+OneEuro (min_cutoff 0.1, beta 0.1), ``headpose_viz.mp4``, metadata
+blink/pose model names.
+
+TPU-native: batched landmark forward, batched pose forward over the gathered
+crop batch, and both smoothing passes as masked ``lax.scan`` programs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from fvd_tpu.config import Config, default_config
+from fvd_tpu.nodes._tracking import FaceTracker, TrackerConfig
+from fvd_tpu.ops.filters import eye_aspect_ratio, one_euro_scan
+from fvd_tpu.providers import Providers, get_providers
+from fvd_tpu.providers.media import VideoReader, write_video
+from fvd_tpu.runtime.debug import dump_node_debug
+from fvd_tpu.state import State, StateDelta
+
+
+def _resize_crop(crop: np.ndarray, size: int) -> np.ndarray:
+    import cv2
+
+    return cv2.resize(crop, (size, size))
+
+
+def run(
+    state: State,
+    config: Config = default_config(),
+    providers: Optional[Providers] = None,
+) -> StateDelta:
+    providers = providers or get_providers()
+    cfg = config.landmarks
+    output_dir = state.get("data_dir")
+    if not output_dir or not os.path.exists(output_dir):
+        print(f"V4: data directory not found at {output_dir}")
+        return {}
+    video_path = os.path.join(output_dir, "video.mp4")
+    if not os.path.exists(video_path):
+        print(f"V4: video file not found at {video_path}")
+        return {}
+    if providers.landmarks is None:
+        print("V4: no landmark model configured; skipping.")
+        return {}
+
+    reader = VideoReader()
+    frames, kept_ids, meta = reader.sample_at_fps(video_path, cfg.sample_fps)
+    if len(kept_ids) == 0:
+        print("V4: no frames decoded.")
+        return {}
+    fps = meta.fps
+
+    all_landmarks = providers.landmarks.landmarks_batch(frames)
+
+    # Tracking: V4 keeps a 10%-padded active box and has no aspect gate
+    # (v4:182-251).
+    tracker = FaceTracker(
+        TrackerConfig(
+            frame_width=meta.width,
+            frame_height=meta.height,
+            min_face_frac=cfg.min_face_frac,
+            iou_min=cfg.track_iou_min,
+            aspect_gate=False,
+            pad_frac=cfg.pose_crop_pad_frac,
+        )
+    )
+
+    T = len(kept_ids)
+    times = np.array([fid / fps if fps else i for i, fid in enumerate(kept_ids)], np.float64)
+    n_pts = 68
+    dim = 3
+    raw_track = np.zeros((T, n_pts, dim), np.float64)
+    valid = np.zeros(T, bool)
+    crop_boxes: List[Optional[List[int]]] = [None] * T
+
+    for i, lm_list in enumerate(all_landmarks):
+        idx = tracker.select([np.asarray(lm)[:, :2] for lm in lm_list])
+        if idx != -1:
+            lm = np.asarray(lm_list[idx], np.float64)
+            if lm.shape[1] < dim:  # 2D provider: zero z
+                lm = np.concatenate([lm, np.zeros((lm.shape[0], dim - lm.shape[1]))], axis=1)
+            raw_track[i] = lm[:n_pts]
+            valid[i] = True
+            crop_boxes[i] = list(tracker.active_box)  # already 10%-padded
+
+    # Landmark smoothing (EAR source), one scan (v4:254-258).
+    smoothed_lm = np.asarray(
+        one_euro_scan(
+            times, raw_track, valid,
+            min_cutoff=cfg.landmark_min_cutoff, beta=cfg.landmark_beta,
+        )
+    )
+
+    # Pose: ONE batched forward over all valid crops, then one smoothing scan
+    # (v4:267-287).
+    valid_idx = [i for i in range(T) if valid[i] and crop_boxes[i] is not None]
+    raw_pose = np.zeros((T, 3), np.float64)
+    pose_valid = np.zeros(T, bool)
+    if valid_idx:
+        crops = []
+        usable = []
+        for i in valid_idx:
+            x1, y1, x2, y2 = crop_boxes[i]
+            crop = frames[i][y1:y2, x1:x2]
+            if crop.size > 0:
+                crops.append(_resize_crop(crop, cfg.crop_size))
+                usable.append(i)
+        if crops:
+            poses = np.asarray(providers.landmarks.pose_batch(np.stack(crops)))
+            for i, p in zip(usable, poses):
+                raw_pose[i] = p  # (pitch, yaw, roll)
+                pose_valid[i] = True
+
+    smoothed_pose = np.asarray(
+        one_euro_scan(
+            times, raw_pose, pose_valid,
+            min_cutoff=cfg.pose_min_cutoff, beta=cfg.pose_beta,
+        )
+    )
+
+    blink_data: List[Dict[str, Any]] = []
+    head_pose_data: List[Dict[str, Any]] = []
+    viz_frames: List[np.ndarray] = []
+
+    for i, fid in enumerate(kept_ids):
+        frame = frames[i].copy()
+        if valid[i]:
+            pts = smoothed_lm[i]
+            left_eye = pts[36:42]
+            right_eye = pts[42:48]
+            ear = (eye_aspect_ratio(left_eye) + eye_aspect_ratio(right_eye)) / 2.0
+            blink_data.append(
+                {"frame_id": int(fid), "timestamp": float(times[i]), "ear": float(ear)}
+            )
+            try:
+                import cv2
+
+                if crop_boxes[i]:
+                    x1, y1, x2, y2 = crop_boxes[i]
+                    cv2.rectangle(frame, (x1, y1), (x2, y2), (255, 255, 0), 1)
+                cv2.putText(frame, f"EAR: {ear:.2f}", (10, 30),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 0, 0), 2)
+            except Exception:
+                pass
+        if pose_valid[i]:
+            pitch, yaw, roll = smoothed_pose[i]
+            head_pose_data.append(
+                {
+                    "frame_id": int(fid),
+                    "timestamp": float(times[i]),
+                    "pose": {"pitch": float(pitch), "yaw": float(yaw), "roll": float(roll)},
+                }
+            )
+        viz_frames.append(frame)
+
+    viz_path = os.path.join(output_dir, "headpose_viz.mp4")
+    try:
+        stride = max(1, int(round(fps / cfg.sample_fps))) if fps else 1
+        viz_fps = max(1.0, fps / stride) if fps else 1.0
+        write_video(viz_path, np.stack(viz_frames), viz_fps)
+    except Exception as e:
+        print(f"V4: viz write failed: {e}")
+        viz_path = None
+
+    metadata = dict(state.get("metadata", {}) or {})
+    metadata["blink_model"] = "EAR_smoothed"
+    metadata["pose_model"] = f"{providers.landmarks.model_name}_pose_smoothed"
+
+    dump_node_debug(
+        output_dir,
+        "V4",
+        {
+            "blink_samples": len(blink_data),
+            "pose_samples": len(head_pose_data),
+            "viz_path": viz_path,
+        },
+    )
+    return {
+        "blink_data": blink_data,
+        "head_pose_data": head_pose_data,
+        "headpose_viz_path": viz_path,
+        "metadata": metadata,
+    }

@@ -1,0 +1,142 @@
+"""V5: texture / ELA forensics.
+
+Reference behavior (``nodes/V_nodes/v5_texture_ela.py:13-179``): pick the
+top-3 frames by (first face confidence x area), produce an ELA image and an
+FFT log-magnitude spectrum per crop, send (original, ELA, FFT) to a vision
+LLM with a strict JSON ``{fake_probability, reasoning}`` contract, and score
+the mean; missing faces/crops/credentials all yield 0.0 with a reason.
+
+TPU-native: ELA is the on-device DCT-domain JPEG approximation and the
+spectrum is device FFT (fvd_tpu.ops.forensics) — no PIL encode round-trips.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from fvd_tpu.config import Config, default_config
+from fvd_tpu.ops import forensics
+from fvd_tpu.providers import Providers, get_providers
+from fvd_tpu.runtime.debug import dump_node_debug
+from fvd_tpu.state import State, StateDelta
+
+
+def _safe_float(val, default=None):
+    try:
+        return float(val)
+    except (TypeError, ValueError):
+        return default
+
+
+def _load_crop(face_info: Dict[str, Any]) -> Optional[np.ndarray]:
+    """Crop pixels: in-memory (TPU path) or from crop_path (artifact path)."""
+    if "crop" in face_info and face_info["crop"] is not None:
+        return np.asarray(face_info["crop"], np.uint8)
+    path = face_info.get("crop_path")
+    if path and os.path.exists(path):
+        import cv2
+
+        bgr = cv2.imread(path)
+        if bgr is not None:
+            return cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    return None
+
+
+def _encode_jpeg(rgb: np.ndarray) -> bytes:
+    import cv2
+
+    ok, buf = cv2.imencode(".jpg", cv2.cvtColor(rgb.astype(np.uint8), cv2.COLOR_RGB2BGR))
+    return buf.tobytes() if ok else b""
+
+
+def run(
+    state: State,
+    config: Config = default_config(),
+    providers: Optional[Providers] = None,
+) -> StateDelta:
+    providers = providers or get_providers()
+    cfg = config.forensics
+    face_detections = state.get("face_detections", []) or []
+    output_dir = state.get("data_dir")
+
+    if not face_detections:
+        print("V5: no faces detected to analyze.")
+        return {"texture_ela_score": 0.0, "texture_ela_details": {"reason": "No faces found"}}
+
+    valid = [f for f in face_detections if f.get("faces")]
+    if not valid:
+        print("V5: detections present but no crops were generated.")
+        return {
+            "texture_ela_score": 0.0,
+            "texture_ela_details": {"reason": "No face crops available"},
+        }
+
+    # top-K by confidence x area of the main face (v5:33-42)
+    ranked = sorted(
+        valid,
+        key=lambda x: (
+            x["faces"][0]["confidence"] * x["faces"][0]["bbox"]["w"] * x["faces"][0]["bbox"]["h"]
+        ),
+        reverse=True,
+    )
+    selected = ranked[: cfg.top_k_faces]
+
+    ela_dir = None
+    if output_dir:
+        ela_dir = os.path.join(output_dir, "ela_analysis")
+        os.makedirs(ela_dir, exist_ok=True)
+
+    analysis_results: List[Dict[str, Any]] = []
+    for i, face_data in enumerate(selected):
+        try:
+            crop = _load_crop(face_data["faces"][0])
+            if crop is None or crop.size == 0:
+                continue
+
+            ela = np.asarray(forensics.ela_image(crop, cfg.jpeg_quality)).astype(np.uint8)
+            spectrum = np.asarray(
+                forensics.fft_spectrum(forensics.rgb_to_gray(crop))
+            ).astype(np.uint8)
+
+            if ela_dir:
+                import cv2
+
+                cv2.imwrite(os.path.join(ela_dir, f"ela_{i}.jpg"),
+                            cv2.cvtColor(ela, cv2.COLOR_RGB2BGR))
+                cv2.imwrite(os.path.join(ela_dir, f"fft_{i}.jpg"), spectrum)
+
+            if providers.llm.available:
+                spectrum_rgb = np.stack([spectrum] * 3, axis=-1)
+                result = providers.llm.vision_json(
+                    "You are a forensic image analyst specializing in deepfake "
+                    "detection. You MUST return a JSON object (nothing else) "
+                    "with keys 'fake_probability' and 'reasoning'.",
+                    "Analyze this face for manipulation. Return JSON.",
+                    [_encode_jpeg(crop), _encode_jpeg(ela), _encode_jpeg(spectrum_rgb)],
+                )
+                if isinstance(result, dict):
+                    analysis_results.append(result)
+        except Exception as e:
+            print(f"V5: error analyzing face {i}: {e}")
+
+    scores = []
+    for r in analysis_results:
+        val = _safe_float(r.get("fake_probability") if isinstance(r, dict) else r)
+        if val is not None:
+            scores.append(val)
+
+    if scores:
+        avg = sum(scores) / len(scores)
+        dump_node_debug(
+            output_dir, "V5", {"faces_analyzed": len(analysis_results), "avg_score": avg}
+        )
+        return {"texture_ela_score": avg, "texture_ela_details": analysis_results}
+
+    print("V5: no analysis results generated.")
+    return {
+        "texture_ela_score": 0.0,
+        "texture_ela_details": {"reason": "Analysis failed or no keys"},
+    }
