@@ -1,0 +1,85 @@
+"""End-to-end throughput benchmark.
+
+Runs the full 16-node pipeline (ingest -> audio/vision/cross-modal/evidence
+-> LR fusion) over synthetic 30 s videos with hermetic providers (real
+device kernels for resample/STFT/onsets/envelope/lip-sync/ELA/FFT; no
+network), and reports sustained videos/min.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "videos/min", "vs_baseline": N/50}
+vs_baseline is against the BASELINE.md target of >= 50 videos/min on a
+v5e-8; this benchmark runs whatever hardware jax.default_backend() exposes
+(a single chip under the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    from fvd_tpu.config import EvidenceConfig, default_config
+    from fvd_tpu.graph import build_graph
+    from fvd_tpu.runtime.scheduler import Scheduler
+    from fvd_tpu.state import State
+    from fvd_tpu.synthetic import hermetic_providers, make_synthetic_video
+
+    import dataclasses
+
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+
+    workdir = tempfile.mkdtemp(prefix="fvd_bench_")
+    os.chdir(workdir)
+
+    duration, fps = 30.0, 30.0
+    n_videos = 4
+    log(f"generating {n_videos} synthetic videos ({duration}s @ {fps}fps, 320x240)...")
+    videos = [
+        make_synthetic_video("media", name=f"clip{i}", duration=duration, fps=fps,
+                             width=320, height=240)
+        for i in range(n_videos)
+    ]
+
+    config = dataclasses.replace(
+        default_config(), evidence=EvidenceConfig(rate_limit_s=0.0, max_workers=4)
+    )
+    providers = hermetic_providers(fps=fps)
+    dag = build_graph(config, providers)
+
+    # Warmup (compile all device programs for these shapes).
+    log("warmup run (compiling)...")
+    t0 = time.perf_counter()
+    final = Scheduler(dag).invoke(State(input_path=videos[0]))
+    log(f"warmup: {time.perf_counter() - t0:.2f}s  p={final.fake_probability:.4f} "
+        f"features={final.features}")
+
+    log("measuring...")
+    t0 = time.perf_counter()
+    for v in videos:
+        final = Scheduler(dag).invoke(State(input_path=v))
+    elapsed = time.perf_counter() - t0
+    per_video = elapsed / n_videos
+    videos_per_min = 60.0 / per_video
+
+    log(f"{n_videos} videos in {elapsed:.2f}s -> {per_video:.2f}s/video")
+
+    print(json.dumps({
+        "metric": "end_to_end_videos_per_min_30s_clips",
+        "value": round(videos_per_min, 2),
+        "unit": "videos/min",
+        "vs_baseline": round(videos_per_min / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1 @@
+from fvd_tpu.parallel.mesh import make_mesh  # noqa: F401

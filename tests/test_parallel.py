@@ -1,0 +1,111 @@
+"""Sharded-kernel tests on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fvd_tpu.ops import lipsync
+from fvd_tpu.parallel.mesh import make_mesh
+from fvd_tpu.parallel import pipeline as pp
+
+
+def _signals(n=1800, fps=30.0, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.linspace(0, n / fps, n)
+    mouth = np.clip(0.5 * (1 + np.sin(2 * np.pi * 2 * t)) + 0.1 * rng.rand(n), 0, 1)
+    return mouth.astype(np.float32), np.roll(mouth, 3).astype(np.float32)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(n_data=4, n_time=2)
+    assert mesh.shape == {"data": 4, "time": 2}
+    mesh = make_mesh(n_time=8)
+    assert mesh.shape == {"data": 1, "time": 8}
+    with pytest.raises(ValueError):
+        make_mesh(n_data=16, n_time=1)
+
+
+@pytest.mark.parametrize("n_time", [2, 4, 8])
+def test_time_sharded_lipsync_matches_single_device(n_time):
+    mouth, audio = _signals()
+    mesh = make_mesh(n_data=1, n_time=n_time)
+    fn = pp.make_time_sharded_lipsync(mesh, len(mouth), 30.0)
+    sp = float(fn(jnp.asarray(mouth), jnp.asarray(audio)))
+    ref = float(lipsync.lip_sync_score_xla(jnp.asarray(mouth), jnp.asarray(audio), 30.0).score)
+    assert sp == pytest.approx(ref, abs=2e-5)
+
+
+def test_time_sharded_lipsync_silence_is_zero():
+    mesh = make_mesh(n_data=1, n_time=4)
+    mouth, _ = _signals()
+    fn = pp.make_time_sharded_lipsync(mesh, len(mouth), 30.0)
+    assert float(fn(jnp.asarray(mouth), jnp.zeros(len(mouth), jnp.float32))) == 0.0
+
+
+def test_time_sharding_constraints_validated():
+    mesh = make_mesh(n_data=1, n_time=8)
+    with pytest.raises(ValueError):
+        pp.make_time_sharded_lipsync(mesh, 1801, 30.0)  # not divisible
+    with pytest.raises(ValueError):
+        pp.make_time_sharded_lipsync(mesh, 800, 30.0)   # chunk < window+lag
+
+
+def test_dp_lr_train_step_matches_single_device():
+    rng = np.random.RandomState(0)
+    feats = rng.rand(16, 9).astype(np.float32)
+    labels = (rng.rand(16) > 0.5).astype(np.float32)
+    w0 = rng.randn(9).astype(np.float32) * 0.1
+    b0 = np.float32(0.2)
+
+    mesh = make_mesh(n_data=8, n_time=1)
+    step = pp.make_dp_lr_train_step(mesh, lr=0.005)
+    w, b, probs, loss = step(jnp.asarray(feats), jnp.asarray(labels),
+                             jnp.asarray(w0), jnp.asarray(b0))
+
+    p = 1 / (1 + np.exp(-(feats @ w0 + b0)))
+    gw = feats.T @ (p - labels) / 16
+    gb = (p - labels).mean()
+    np.testing.assert_allclose(np.asarray(w), w0 - 0.005 * gw, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b), b0 - 0.005 * gb, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(probs), p, atol=1e-6)
+    assert np.isfinite(float(loss))
+
+
+def test_multichip_train_step_runs_and_learns():
+    mesh = make_mesh(n_data=4, n_time=2)
+    fps = 10.0
+    chunk = 75
+    n = chunk * 2
+    batch = 8
+    rng = np.random.RandomState(0)
+    t = np.linspace(0, n / fps, n)
+    base = (0.5 * (1 + np.sin(2 * np.pi * 1.0 * t))).astype(np.float32)
+    mouth = np.stack([np.roll(base, 3 * i) for i in range(batch)])
+    audio = np.stack([np.roll(base, 3 * i + 1) for i in range(batch)])
+    other = rng.rand(batch, 8).astype(np.float32)
+    labels = (rng.rand(batch) > 0.5).astype(np.float32)
+
+    step = pp.make_multichip_train_step(mesh, batch, n, fps)
+    w = jnp.zeros(9, jnp.float32)
+    b = jnp.asarray(0.0, jnp.float32)
+    losses = []
+    for _ in range(5):
+        w, b, probs, loss = step(
+            jnp.asarray(mouth), jnp.asarray(audio), jnp.asarray(other),
+            jnp.asarray(labels), w, b,
+        )
+        losses.append(float(loss))
+    assert probs.shape == (batch,)
+    assert losses[-1] < losses[0]  # gradient steps reduce BCE
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    prob, lip = [float(x) for x in out]
+    assert 0.0 <= prob <= 1.0
+    g.dryrun_multichip(8)
