@@ -1,0 +1,281 @@
+"""Hourglass landmark regressor + 6D head-pose head.
+
+Fills the roles of face_alignment's FAN (68-point landmarks,
+``v3_mouth_landmarks_timeseries.py:94``) and SixDRepNet (6D rotation head
+pose, ``v4_blink_headpose_dynamics.py:133-135``) with a single compact
+flax model family:
+
+* ``LandmarkHourglass``: crop [B, 128, 128, 3] -> 68 heatmaps, decoded with
+  a differentiable soft-argmax (trainable end-to-end, one jitted batch
+  forward for the whole sampled-frame tensor);
+* ``PoseHead``: crop -> 6D rotation representation -> orthonormal rotation
+  matrix (Gram-Schmidt) -> (pitch, yaw, roll) euler degrees, the exact
+  SixDRepNet output convention.
+
+Retrained-equivalent design (SURVEY §7 weight provenance); checkpoints load
+via save_params/load_params, random init otherwise; overfit smoke tests in
+tests/test_models.py prove trainability.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fvd_tpu.providers.vision import FaceBox
+
+CROP_SIZE = 128
+HEATMAP_SIZE = 32
+N_LANDMARKS = 68
+
+
+class ResBlock(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        r = x
+        x = nn.GroupNorm(num_groups=8)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = nn.GroupNorm(num_groups=8)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        if r.shape[-1] != self.features:
+            r = nn.Conv(self.features, (1, 1))(r)
+        return x + r
+
+
+class Hourglass(nn.Module):
+    features: int
+    depth: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        skips = []
+        for _ in range(self.depth):
+            skips.append(ResBlock(self.features)(x))
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = ResBlock(self.features)(x)
+        x = ResBlock(self.features)(x)
+        for skip in reversed(skips):
+            x = jax.image.resize(x, skip.shape, "nearest")
+            x = ResBlock(self.features)(x + skip)
+        return x
+
+
+class LandmarkHourglass(nn.Module):
+    """[B, 128, 128, 3] float (0..1) -> heatmaps [B, 32, 32, 68]."""
+
+    width: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.width, (7, 7), strides=(2, 2), padding="SAME")(x)  # 64
+        x = nn.relu(nn.GroupNorm(num_groups=8)(x))
+        x = ResBlock(self.width)(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))                          # 32
+        x = Hourglass(self.width)(x)
+        x = nn.relu(nn.GroupNorm(num_groups=8)(x))
+        return nn.Conv(N_LANDMARKS, (1, 1))(x)
+
+
+def decode_heatmaps(heatmaps: jax.Array, temperature: float = 10.0) -> jax.Array:
+    """Soft-argmax: [..., H, W, K] -> [..., K, 2] (x, y) in [0, 1]."""
+    *lead, h, w, k = heatmaps.shape
+    flat = heatmaps.reshape(*lead, h * w, k) * temperature
+    attn = jax.nn.softmax(flat, axis=-2)
+    ys = (jnp.arange(h) + 0.5) / h
+    xs = (jnp.arange(w) + 0.5) / w
+    grid_y = jnp.repeat(ys, w)
+    grid_x = jnp.tile(xs, h)
+    x = jnp.einsum("...ak,a->...k", attn, grid_x)
+    y = jnp.einsum("...ak,a->...k", attn, grid_y)
+    return jnp.stack([x, y], axis=-1)
+
+
+class PoseHead(nn.Module):
+    """[B, 128, 128, 3] -> 6D rotation representation [B, 6]."""
+
+    width: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, s in enumerate([2, 2, 2, 2]):
+            x = nn.Conv(self.width * (2 ** min(i, 2)), (3, 3), strides=(s, s),
+                        padding="SAME")(x)
+            x = nn.relu(nn.GroupNorm(num_groups=8)(x))
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.relu(nn.Dense(128)(x))
+        return nn.Dense(6)(x)
+
+
+def rotation_6d_to_matrix(d6: jax.Array) -> jax.Array:
+    """Gram-Schmidt 6D -> SO(3) (Zhou et al., the SixDRepNet representation)."""
+    a1, a2 = d6[..., :3], d6[..., 3:]
+    b1 = a1 / (jnp.linalg.norm(a1, axis=-1, keepdims=True) + 1e-8)
+    a2_proj = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = a2_proj / (jnp.linalg.norm(a2_proj, axis=-1, keepdims=True) + 1e-8)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-2)
+
+
+def euler_from_matrix_deg(R: jax.Array) -> jax.Array:
+    """Rotation matrix -> (pitch, yaw, roll) degrees, SixDRepNet convention."""
+    sy = jnp.sqrt(R[..., 0, 0] ** 2 + R[..., 1, 0] ** 2)
+    singular = sy < 1e-6
+    pitch = jnp.where(
+        singular,
+        jnp.arctan2(-R[..., 1, 2], R[..., 1, 1]),
+        jnp.arctan2(R[..., 2, 1], R[..., 2, 2]),
+    )
+    yaw = jnp.arctan2(-R[..., 2, 0], sy)
+    roll = jnp.where(singular, 0.0, jnp.arctan2(R[..., 1, 0], R[..., 0, 0]))
+    return jnp.stack([pitch, yaw, roll], axis=-1) * (180.0 / jnp.pi)
+
+
+# ---------------------------------------------------------------------------
+# Param management
+# ---------------------------------------------------------------------------
+def init_landmark_params(rng, width: int = 64):
+    dummy = jnp.zeros((1, CROP_SIZE, CROP_SIZE, 3), jnp.float32)
+    return LandmarkHourglass(width=width).init(rng, dummy)
+
+
+def init_pose_params(rng, width: int = 32):
+    dummy = jnp.zeros((1, CROP_SIZE, CROP_SIZE, 3), jnp.float32)
+    return PoseHead(width=width).init(rng, dummy)
+
+
+def save_params(path: str, params) -> None:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    np.savez(path, **{jax.tree_util.keystr(k): np.asarray(v) for k, v in flat})
+
+
+def load_params(path: str, template):
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    values = [jnp.asarray(data[jax.tree_util.keystr(k)]) for k, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, values)
+
+
+# ---------------------------------------------------------------------------
+# Jitted batch forwards
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("width",))
+def landmarks_forward(params, crops: jax.Array, width: int = 64) -> jax.Array:
+    """crops uint8 [B, S, S, 3] -> landmark coords [B, 68, 2] in crop [0,1]."""
+    x = crops.astype(jnp.float32) / 255.0
+    x = jax.image.resize(x, (x.shape[0], CROP_SIZE, CROP_SIZE, 3), "linear")
+    hm = LandmarkHourglass(width=width).apply(params, x)
+    return decode_heatmaps(hm)
+
+
+@partial(jax.jit, static_argnames=("width",))
+def pose_forward(params, crops: jax.Array, width: int = 32) -> jax.Array:
+    """crops uint8 [B, S, S, 3] -> (pitch, yaw, roll) degrees [B, 3]."""
+    x = crops.astype(jnp.float32) / 255.0
+    x = jax.image.resize(x, (x.shape[0], CROP_SIZE, CROP_SIZE, 3), "linear")
+    d6 = PoseHead(width=width).apply(params, x)
+    return euler_from_matrix_deg(rotation_6d_to_matrix(d6))
+
+
+# ---------------------------------------------------------------------------
+# Provider wrapper: detector-guided landmarks over full frames
+# ---------------------------------------------------------------------------
+class FANLandmarks:
+    """LandmarkProvider: compose a face detector with the landmark/pose nets.
+
+    The reference's face_alignment bundles its own SFD detector; here the
+    detector is injected (any FaceDetectorProvider) and crops for ALL frames
+    are batched into single forwards.
+    """
+
+    model_name = "fvd_tpu_hourglass"
+
+    def __init__(self, face_detector, landmark_params=None, pose_params=None,
+                 width: int = 64, pose_width: int = 32,
+                 detector_threshold: float = 0.5):
+        self.face_detector = face_detector
+        self.landmark_params = landmark_params or init_landmark_params(
+            jax.random.PRNGKey(1), width)
+        self.pose_params = pose_params or init_pose_params(
+            jax.random.PRNGKey(2), pose_width)
+        self.width = width
+        self.pose_width = pose_width
+        self.detector_threshold = detector_threshold
+
+    def landmarks_batch(self, frames: np.ndarray) -> List[List[np.ndarray]]:
+        import cv2
+
+        detections = self.face_detector.detect_batch(frames)
+        crops, owners, boxes = [], [], []
+        for i, (frame, dets) in enumerate(zip(frames, detections)):
+            h, w = frame.shape[:2]
+            for d in dets:
+                if d.confidence < self.detector_threshold:
+                    continue
+                x1, y1 = max(0, int(d.x1)), max(0, int(d.y1))
+                x2, y2 = min(w, int(d.x2)), min(h, int(d.y2))
+                if x2 - x1 < 4 or y2 - y1 < 4:
+                    continue
+                crops.append(cv2.resize(frame[y1:y2, x1:x2], (CROP_SIZE, CROP_SIZE)))
+                owners.append(i)
+                boxes.append((x1, y1, x2, y2))
+        out: List[List[np.ndarray]] = [[] for _ in range(len(frames))]
+        if not crops:
+            return out
+        coords = np.asarray(
+            landmarks_forward(self.landmark_params, jnp.asarray(np.stack(crops)),
+                              width=self.width)
+        )
+        for (x1, y1, x2, y2), owner, c in zip(boxes, owners, coords):
+            pts = np.stack(
+                [x1 + c[:, 0] * (x2 - x1), y1 + c[:, 1] * (y2 - y1)], axis=1
+            )
+            out[owner].append(pts)
+        return out
+
+    def pose_batch(self, crops: np.ndarray) -> np.ndarray:
+        if len(crops) == 0:
+            return np.zeros((0, 3))
+        return np.asarray(
+            pose_forward(self.pose_params, jnp.asarray(crops), width=self.pose_width)
+        )
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+def landmark_loss(params, crops, target_coords, width: int = 64):
+    """L2 on soft-argmax coordinates (crops float [B,128,128,3] 0..1,
+    targets [B, 68, 2] in [0,1])."""
+    hm = LandmarkHourglass(width=width).apply(params, crops)
+    coords = decode_heatmaps(hm)
+    return jnp.mean(jnp.sum((coords - target_coords) ** 2, axis=-1))
+
+
+def pose_loss(params, crops, target_R, width: int = 32):
+    """Geodesic-ish loss: frobenius distance between rotation matrices."""
+    d6 = PoseHead(width=width).apply(params, crops)
+    R = rotation_6d_to_matrix(d6)
+    return jnp.mean(jnp.sum((R - target_R) ** 2, axis=(-1, -2)))
+
+
+def make_landmark_train_step(width: int = 64, lr: float = 1e-3):
+    import optax
+
+    tx = optax.adam(lr)
+
+    @jax.jit
+    def step(params, opt_state, crops, targets):
+        loss, grads = jax.value_and_grad(landmark_loss)(params, crops, targets, width=width)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step, tx.init

@@ -1,0 +1,195 @@
+"""OCR: text-region detector + CTC recognizer.
+
+Role (SURVEY §2.4): EasyOCR's CRAFT detector + CRNN recognizer in V2
+(``v2_ocr_overlays.py:31-44``).  Retrained-equivalent design:
+
+* ``TextRegionNet`` — a small U-Net producing a per-pixel text-probability
+  map; region boxes come from connected components on the thresholded map
+  (host, cheap);
+* ``CTCRecognizer`` — conv feature extractor over a fixed-size line crop +
+  positionwise classifier trained with ``optax.ctc_loss``, greedy
+  CTC-collapse decode;
+* ``JaxOCR`` — OCRProvider wrapper composing the two with the EasyOCR output
+  schema ``{text, confidence, bbox}``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fvd_tpu.models.transformer import ByteTokenizer
+
+LINE_H, LINE_W = 32, 256
+DET_SIZE = 256
+#: CTC vocabulary: blank(0) + printable ASCII 32..126
+CTC_BLANK = 0
+CTC_VOCAB = [chr(c) for c in range(32, 127)]
+CTC_CLASSES = len(CTC_VOCAB) + 1
+
+
+class TextRegionNet(nn.Module):
+    width: int = 16
+
+    @nn.compact
+    def __call__(self, x):  # float [B, H, W, 3] 0..1
+        w = self.width
+        d1 = nn.relu(nn.Conv(w, (3, 3), padding="SAME")(x))
+        p1 = nn.max_pool(d1, (2, 2), strides=(2, 2))
+        d2 = nn.relu(nn.Conv(2 * w, (3, 3), padding="SAME")(p1))
+        p2 = nn.max_pool(d2, (2, 2), strides=(2, 2))
+        d3 = nn.relu(nn.Conv(4 * w, (3, 3), padding="SAME")(p2))
+        u2 = jax.image.resize(d3, d2.shape[:3] + (4 * w,), "nearest")
+        u2 = nn.relu(nn.Conv(2 * w, (3, 3), padding="SAME")(jnp.concatenate([u2, d2], -1)))
+        u1 = jax.image.resize(u2, d1.shape[:3] + (2 * w,), "nearest")
+        u1 = nn.relu(nn.Conv(w, (3, 3), padding="SAME")(jnp.concatenate([u1, d1], -1)))
+        return nn.Conv(1, (1, 1))(u1)[..., 0]  # logits [B, H, W]
+
+
+class CTCRecognizer(nn.Module):
+    width: int = 32
+
+    @nn.compact
+    def __call__(self, x):  # float [B, 32, 256, 1] 0..1
+        w = self.width
+        x = nn.relu(nn.Conv(w, (3, 3), padding="SAME")(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))        # 16 x 128
+        x = nn.relu(nn.Conv(2 * w, (3, 3), padding="SAME")(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))        # 8 x 64
+        x = nn.relu(nn.Conv(4 * w, (3, 3), padding="SAME")(x))
+        x = nn.max_pool(x, (2, 1), strides=(2, 1))        # 4 x 64
+        b, h, t, c = x.shape
+        x = x.transpose(0, 2, 1, 3).reshape(b, t, h * c)  # time-major features
+        x = nn.relu(nn.Dense(4 * w)(x))
+        return nn.Dense(CTC_CLASSES)(x)                   # [B, T=64, classes]
+
+
+def ctc_greedy_decode(logits: np.ndarray) -> List[str]:
+    """Collapse repeats + drop blanks."""
+    out = []
+    for row in np.argmax(logits, axis=-1):
+        chars = []
+        prev = -1
+        for k in row:
+            if k != prev and k != CTC_BLANK:
+                chars.append(CTC_VOCAB[k - 1])
+            prev = k
+        out.append("".join(chars))
+    return out
+
+
+def encode_ctc_labels(text: str, max_len: int = 32) -> np.ndarray:
+    ids = [CTC_VOCAB.index(c) + 1 for c in text if c in CTC_VOCAB][:max_len]
+    out = np.zeros(max_len, np.int32)
+    out[: len(ids)] = ids
+    return out
+
+
+def ctc_loss(params, model: CTCRecognizer, images, labels, label_pad=0):
+    import optax
+
+    logits = model.apply(params, images)
+    logit_pad = jnp.zeros(logits.shape[:2])
+    label_padding = (labels == label_pad).astype(jnp.float32)
+    return jnp.mean(optax.ctc_loss(logits, logit_pad, labels, label_padding))
+
+
+@partial(jax.jit, static_argnames=("width",))
+def detect_forward(params, images, width=16):
+    return jax.nn.sigmoid(TextRegionNet(width=width).apply(params, images))
+
+
+@partial(jax.jit, static_argnames=("width",))
+def recognize_forward(params, lines, width=32):
+    return CTCRecognizer(width=width).apply(params, lines)
+
+
+def init_detector(rng, width=16):
+    return TextRegionNet(width=width).init(
+        rng, jnp.zeros((1, DET_SIZE, DET_SIZE, 3), jnp.float32)
+    )
+
+
+def init_recognizer(rng, width=32):
+    return CTCRecognizer(width=width).init(
+        rng, jnp.zeros((1, LINE_H, LINE_W, 1), jnp.float32)
+    )
+
+
+def region_boxes(prob_map: np.ndarray, threshold: float = 0.5, min_area: int = 16):
+    """Connected components of the thresholded text map -> pixel boxes."""
+    import cv2
+
+    mask = (prob_map > threshold).astype(np.uint8)
+    n, _, stats, _ = cv2.connectedComponentsWithStats(mask)
+    boxes = []
+    for i in range(1, n):
+        x, y, w, h, area = stats[i]
+        if area >= min_area:
+            boxes.append((int(x), int(y), int(w), int(h)))
+    return boxes
+
+
+class JaxOCR:
+    """OCRProvider: detector + recognizer, EasyOCR-shaped output."""
+
+    model_name = "fvd_tpu_ocr"
+
+    def __init__(self, det_params=None, rec_params=None,
+                 det_width: int = 16, rec_width: int = 32,
+                 region_threshold: float = 0.5):
+        self.det_params = det_params or init_detector(jax.random.PRNGKey(0), det_width)
+        self.rec_params = rec_params or init_recognizer(jax.random.PRNGKey(1), rec_width)
+        self.det_width = det_width
+        self.rec_width = rec_width
+        self.region_threshold = region_threshold
+
+    def read_text(self, image: np.ndarray) -> List[Dict[str, Any]]:
+        import cv2
+
+        h, w = image.shape[:2]
+        det_in = cv2.resize(image, (DET_SIZE, DET_SIZE)).astype(np.float32) / 255.0
+        prob = np.asarray(
+            detect_forward(self.det_params, jnp.asarray(det_in[None]),
+                           width=self.det_width)
+        )[0]
+        boxes = region_boxes(prob, self.region_threshold)
+        if not boxes:
+            return []
+        sx, sy = w / DET_SIZE, h / DET_SIZE
+        lines, pixel_boxes = [], []
+        for (x, y, bw, bh) in boxes:
+            px, py = int(x * sx), int(y * sy)
+            pw, ph = max(1, int(bw * sx)), max(1, int(bh * sy))
+            crop = image[py : py + ph, px : px + pw]
+            if crop.size == 0:
+                continue
+            gray = cv2.cvtColor(crop, cv2.COLOR_RGB2GRAY)
+            lines.append(cv2.resize(gray, (LINE_W, LINE_H)).astype(np.float32) / 255.0)
+            pixel_boxes.append((px, py, pw, ph))
+        if not lines:
+            return []
+        logits = np.asarray(
+            recognize_forward(self.rec_params,
+                              jnp.asarray(np.stack(lines))[..., None],
+                              width=self.rec_width)
+        )
+        texts = ctc_greedy_decode(logits)
+        probs = np.exp(np.max(jax.nn.log_softmax(jnp.asarray(logits), -1), axis=-1)).mean(-1)
+        out = []
+        for (px, py, pw, ph), text, conf in zip(pixel_boxes, texts, probs):
+            if not text:
+                continue
+            out.append(
+                {
+                    "text": text,
+                    "confidence": float(conf),
+                    "bbox": [[px, py], [px + pw, py], [px + pw, py + ph], [px, py + ph]],
+                }
+            )
+        return out
