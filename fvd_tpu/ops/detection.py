@@ -63,21 +63,21 @@ def decode_boxes(
     return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
 
 
-def encode_boxes(
-    boxes: jax.Array, anchors: jax.Array, variances: Tuple[float, float] = (0.1, 0.2)
-) -> jax.Array:
-    """Inverse of decode_boxes (training targets)."""
-    bw = jnp.maximum(boxes[..., 2] - boxes[..., 0], 1e-6)
-    bh = jnp.maximum(boxes[..., 3] - boxes[..., 1], 1e-6)
+def encode_boxes(boxes, anchors, variances: Tuple[float, float] = (0.1, 0.2)):
+    """Inverse of decode_boxes (training targets). Works on numpy or jnp
+    inputs (host data path uses numpy to avoid per-sample device dispatch)."""
+    xp = jnp if isinstance(boxes, jax.Array) or isinstance(anchors, jax.Array) else np
+    bw = xp.maximum(boxes[..., 2] - boxes[..., 0], 1e-6)
+    bh = xp.maximum(boxes[..., 3] - boxes[..., 1], 1e-6)
     bcx = (boxes[..., 0] + boxes[..., 2]) / 2
     bcy = (boxes[..., 1] + boxes[..., 3]) / 2
     acx, acy, aw, ah = anchors[..., 0], anchors[..., 1], anchors[..., 2], anchors[..., 3]
-    return jnp.stack(
+    return xp.stack(
         [
             (bcx - acx) / (variances[0] * aw),
             (bcy - acy) / (variances[0] * ah),
-            jnp.log(bw / aw) / variances[1],
-            jnp.log(bh / ah) / variances[1],
+            xp.log(bw / aw) / variances[1],
+            xp.log(bh / ah) / variances[1],
         ],
         axis=-1,
     )
@@ -154,7 +154,16 @@ def match_anchors(
         ],
         axis=1,
     )
-    ious = np.asarray(iou_matrix(jnp.asarray(corners), jnp.asarray(gt_boxes)))
+    # pure-numpy pairwise IoU: this runs per-sample on the host data path,
+    # where tiny per-call device dispatches would dominate
+    lt = np.maximum(corners[:, None, :2], gt_boxes[None, :, :2])
+    rb = np.minimum(corners[:, None, 2:], gt_boxes[None, :, 2:])
+    wh = np.clip(rb - lt, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (corners[:, 2] - corners[:, 0]) * (corners[:, 3] - corners[:, 1])
+    area_b = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1])
+    union = area_a[:, None] + area_b[None, :] - inter
+    ious = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
     best_gt = ious.argmax(axis=1)
     best_iou = ious.max(axis=1)
     pos = best_iou >= pos_iou

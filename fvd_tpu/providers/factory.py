@@ -1,0 +1,71 @@
+"""Provider bundle factories.
+
+``production_providers`` assembles the best available implementation for
+each seam:
+
+* vision models from ``checkpoints/*.npz`` when present (see
+  tools/pretrain_synthetic.py), random-init JAX models otherwise;
+* LLM/search backends when credentials exist (OPENAI_API_KEY,
+  SERPER_API_KEY/GOOGLE_API_KEY) — mirroring how the reference degrades
+  without keys;
+* the JAX text encoder for evidence ranking, EnergyVAD for speech segments
+  (a converted Whisper checkpoint upgrades A2 via ``asr_checkpoint``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from fvd_tpu.providers import Providers
+from fvd_tpu.providers.asr import EnergyVAD
+from fvd_tpu.providers.llm import NullLLM, OpenAILLM
+from fvd_tpu.providers.search import default_chain
+
+
+def production_providers(
+    checkpoint_dir: str = "checkpoints",
+    use_llm: bool = True,
+    use_search: bool = True,
+) -> Providers:
+    import jax
+
+    from fvd_tpu.models import encoders, face_ssd, landmarks_fan, ocr
+
+    ssd_ckpt = os.path.join(checkpoint_dir, "face_ssd.npz")
+    lmk_ckpt = os.path.join(checkpoint_dir, "landmarks.npz")
+    clip_ckpt = os.path.join(checkpoint_dir, "clip.npz")
+    text_ckpt = os.path.join(checkpoint_dir, "text_encoder.npz")
+
+    detector = face_ssd.SSDFaceDetector(
+        checkpoint=ssd_ckpt if os.path.exists(ssd_ckpt) else None
+    )
+    lmk_params = None
+    if os.path.exists(lmk_ckpt):
+        template = landmarks_fan.init_landmark_params(jax.random.PRNGKey(1), width=32)
+        lmk_params = landmarks_fan.load_params(lmk_ckpt, template)
+        lmk_width = 32
+    else:
+        lmk_width = 64
+    landmarks = landmarks_fan.FANLandmarks(
+        detector, landmark_params=lmk_params, width=lmk_width
+    )
+
+    llm = OpenAILLM() if use_llm else NullLLM()
+    if not getattr(llm, "available", False):
+        llm = NullLLM()
+
+    return Providers(
+        llm=llm,
+        search=default_chain() if use_search else Providers().search,
+        text_encoder=encoders.JaxTextEncoder(
+            checkpoint=text_ckpt if os.path.exists(text_ckpt) else None
+        ),
+        clip=encoders.JaxClip(
+            checkpoint=clip_ckpt if os.path.exists(clip_ckpt) else None
+        ),
+        asr=EnergyVAD(),
+        ocr=ocr.JaxOCR(),
+        face_detector=detector,
+        landmarks=landmarks,
+    )

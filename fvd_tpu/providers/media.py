@@ -40,9 +40,30 @@ class VideoMeta:
 
 
 class VideoReader:
-    """cv2-backed probe + batched frame sampling."""
+    """Batched probe + frame sampling.
+
+    Prefers the native libav shim (native/decode_shim.cc via
+    fvd_tpu.providers.native_decode): one sequential decode pass fills a
+    contiguous RGB buffer.  Falls back to cv2 when the shim isn't built.
+    """
+
+    def __init__(self, prefer_native: bool = True):
+        from fvd_tpu.providers import native_decode
+
+        self._native = native_decode if (prefer_native and native_decode.available()) else None
 
     def probe(self, path: str) -> Optional[VideoMeta]:
+        if self._native is not None:
+            try:
+                with self._native.NativeVideo(path) as v:
+                    fps, frames, w, h, _, _ = v.probe()
+                if fps > 0 and frames > 0:
+                    return VideoMeta(fps=fps, frame_count=int(frames), width=w, height=h)
+            except Exception:
+                pass  # fall through to cv2
+        return self._probe_cv2(path)
+
+    def _probe_cv2(self, path: str) -> Optional[VideoMeta]:
         import cv2
 
         cap = cv2.VideoCapture(path)
@@ -67,6 +88,15 @@ class VideoReader:
         faster than the reference's ``cap.set(POS_FRAMES)`` per sample and
         the natural feeding pattern for an HBM-resident frame tensor.
         """
+        if self._native is not None:
+            try:
+                with self._native.NativeVideo(path) as v:
+                    return v.read_frames(frame_ids)
+            except Exception:
+                pass  # fall through to cv2
+        return self._sample_cv2(path, frame_ids)
+
+    def _sample_cv2(self, path: str, frame_ids: Sequence[int]) -> Tuple[np.ndarray, List[int]]:
         import cv2
 
         wanted = sorted(set(int(i) for i in frame_ids))
@@ -118,12 +148,27 @@ def ffmpeg_bin() -> Optional[str]:
     return shutil.which("ffmpeg")
 
 
-def extract_audio(video_path: str, out_wav: str) -> Optional[str]:
+def extract_audio(video_path: str, out_wav: str, target_sr: int = 44100) -> Optional[str]:
     """Extract an audio track to WAV.
 
-    Priority: ffmpeg (when present) -> sibling .wav next to the source video
-    (hermetic path for this ffmpeg-less image) -> None.
+    Priority: native libav shim -> ffmpeg binary -> sibling .wav next to the
+    source video -> None (reference tolerates missing audio, main.py:267-271).
     """
+    from fvd_tpu.providers import native_decode
+
+    if native_decode.available():
+        try:
+            with native_decode.NativeVideo(video_path) as v:
+                _, _, _, _, _, has_audio = v.probe()
+                if has_audio:
+                    samples = v.extract_audio(target_sr)
+                    if samples is not None and len(samples) > 0:
+                        from fvd_tpu.utils.wav import write_wav
+
+                        write_wav(out_wav, samples, target_sr)
+                        return out_wav
+        except Exception:
+            pass
     ff = ffmpeg_bin()
     if ff:
         proc = subprocess.run(

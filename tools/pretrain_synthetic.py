@@ -1,0 +1,139 @@
+"""Pretrain the face detector + landmark regressor on procedural faces.
+
+Runs on whatever backend JAX exposes (the real TPU chip under the driver)
+and writes npz checkpoints to ``checkpoints/``:
+
+    python tools/pretrain_synthetic.py --steps 400 --batch 16
+
+The resulting checkpoints make :func:`fvd_tpu.providers.factory.production_providers`
+load real model-backed providers instead of stubs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
+                   resume: bool = False, lr: float = 1e-3):
+    import jax
+    import jax.numpy as jnp
+
+    from fvd_tpu.models import face_ssd
+    from fvd_tpu.models.synthetic_faces import detector_batch
+    from fvd_tpu.ops import detection
+
+    rng = np.random.RandomState(seed)
+    if resume and os.path.exists(out):
+        params = face_ssd.load_params(out, width=width)
+        print(f"[det] resumed from {out}")
+    else:
+        params = face_ssd.init_params(jax.random.PRNGKey(seed), width=width)
+    step_fn, init_opt = face_ssd.make_train_step(width=width, lr=lr)
+    opt_state = init_opt(params)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        frames, labels, locs, _ = detector_batch(rng, batch)
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(frames), jnp.asarray(labels), jnp.asarray(locs)
+        )
+        if i % 50 == 0 or i == steps - 1:
+            print(f"[det] step {i:4d} loss {float(loss):.4f} "
+                  f"({time.perf_counter() - t0:.1f}s)", flush=True)
+
+    # eval: detection IoU on fresh samples
+    frames, _, _, gt_boxes = detector_batch(rng, 16)
+    from fvd_tpu.models.face_ssd import MEAN_RGB
+
+    raw = (frames + np.asarray(MEAN_RGB)).clip(0, 255).astype(np.uint8)
+    boxes, scores = face_ssd.detect_batch_jit(params, jnp.asarray(raw), width=width)
+    boxes, scores = np.asarray(boxes), np.asarray(scores)
+    ious = []
+    for b, s, gt in zip(boxes, scores, gt_boxes):
+        if s[0] <= 0:
+            ious.append(0.0)
+            continue
+        iou = float(
+            detection.iou_matrix(jnp.asarray(b[:1]), jnp.asarray(gt[None]))[0, 0]
+        )
+        ious.append(iou)
+    mean_iou = float(np.mean(ious))
+    print(f"[det] eval mean IoU (top detection vs gt): {mean_iou:.3f}")
+
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    face_ssd.save_params(out, params)
+    print(f"[det] saved {out}")
+    return mean_iou
+
+
+def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1):
+    import jax
+    import jax.numpy as jnp
+
+    from fvd_tpu.models import landmarks_fan
+    from fvd_tpu.models.synthetic_faces import landmark_batch
+
+    rng = np.random.RandomState(seed)
+    params = landmarks_fan.init_landmark_params(jax.random.PRNGKey(seed), width=width)
+    step_fn, init_opt = landmarks_fan.make_landmark_train_step(width=width, lr=1e-3)
+    opt_state = init_opt(params)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        crops, targets = landmark_batch(rng, batch)
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(crops), jnp.asarray(targets)
+        )
+        if i % 50 == 0 or i == steps - 1:
+            print(f"[lmk] step {i:4d} loss {float(loss):.5f} "
+                  f"({time.perf_counter() - t0:.1f}s)", flush=True)
+
+    crops, targets = landmark_batch(rng, 16)
+    coords = np.asarray(
+        landmarks_fan.landmarks_forward(
+            params, jnp.asarray((crops * 255).astype(np.uint8)), width=width
+        )
+    )
+    err = float(np.mean(np.linalg.norm(coords - targets, axis=-1)))
+    print(f"[lmk] eval mean normalized error: {err:.4f}")
+
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    landmarks_fan.save_params(out, params)
+    print(f"[lmk] saved {out}")
+    return err
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--det-width", type=int, default=32)
+    ap.add_argument("--lmk-width", type=int, default=32)
+    ap.add_argument("--out-dir", default="checkpoints")
+    ap.add_argument("--only", choices=["det", "lmk"], default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--lr", type=float, default=1e-3)
+    args = ap.parse_args()
+
+    import jax
+
+    print(f"backend: {jax.default_backend()}")
+    if args.only in (None, "det"):
+        train_detector(args.steps, args.batch, args.det_width,
+                       os.path.join(args.out_dir, "face_ssd.npz"),
+                       resume=args.resume, lr=args.lr)
+    if args.only in (None, "lmk"):
+        train_landmarks(args.steps, args.batch, args.lmk_width,
+                        os.path.join(args.out_dir, "landmarks.npz"))
+
+
+if __name__ == "__main__":
+    main()
