@@ -39,20 +39,100 @@ class VideoMeta:
         return (self.width, self.height)
 
 
+class _FrameCache:
+    """Per-path decoded-frame cache shared across nodes in one run.
+
+    V1 (1 fps), V3 and V4 (5 fps each) all read the same video; without
+    sharing, a run decodes the file three times.  The cache holds
+    {path -> {frame_id: rgb}} with per-path locks (the scheduler runs V3/V4
+    concurrently) and evicts whole paths beyond a frame budget.
+    """
+
+    def __init__(self, max_frames: int = 4096):
+        import threading
+
+        self._frames: "dict[str, dict[int, np.ndarray]]" = {}
+        self._meta: "dict[str, VideoMeta]" = {}
+        self._order: List[str] = []
+        self._locks: "dict[str, threading.Lock]" = {}
+        self._global = threading.Lock()
+        self.max_frames = max_frames
+
+    def lock_for(self, path: str):
+        import threading
+
+        with self._global:
+            if path not in self._locks:
+                self._locks[path] = threading.Lock()
+            return self._locks[path]
+
+    def get_meta(self, path: str) -> Optional["VideoMeta"]:
+        return self._meta.get(path)
+
+    def put_meta(self, path: str, meta: "VideoMeta") -> None:
+        self._meta[path] = meta
+
+    def lookup(self, path: str, ids: Sequence[int]):
+        store = self._frames.get(path, {})
+        missing = [i for i in ids if i not in store]
+        return store, missing
+
+    def insert(self, path: str, frames: np.ndarray, ids: Sequence[int]) -> None:
+        with self._global:
+            store = self._frames.setdefault(path, {})
+            if path not in self._order:
+                self._order.append(path)
+            for f, i in zip(frames, ids):
+                store[i] = f
+            total = sum(len(s) for s in self._frames.values())
+            while total > self.max_frames and len(self._order) > 1:
+                victim = self._order.pop(0)
+                if victim == path:
+                    self._order.append(victim)
+                    continue
+                total -= len(self._frames.pop(victim, {}))
+                self._meta.pop(victim, None)
+
+    def clear(self) -> None:
+        with self._global:
+            self._frames.clear()
+            self._meta.clear()
+            self._order.clear()
+
+
+_frame_cache = _FrameCache()
+
+
+def clear_frame_cache() -> None:
+    _frame_cache.clear()
+
+
 class VideoReader:
     """Batched probe + frame sampling.
 
     Prefers the native libav shim (native/decode_shim.cc via
     fvd_tpu.providers.native_decode): one sequential decode pass fills a
     contiguous RGB buffer.  Falls back to cv2 when the shim isn't built.
+    Decoded frames are shared across nodes via a process-wide cache.
     """
 
-    def __init__(self, prefer_native: bool = True):
+    def __init__(self, prefer_native: bool = True, use_cache: bool = True):
         from fvd_tpu.providers import native_decode
 
         self._native = native_decode if (prefer_native and native_decode.available()) else None
+        self._cache = _frame_cache if use_cache else None
 
     def probe(self, path: str) -> Optional[VideoMeta]:
+        if self._cache is not None:
+            cached = self._cache.get_meta(path)
+            if cached is not None:
+                return cached
+        meta = self._probe_uncached(path)
+        if meta is not None and self._cache is not None:
+            self._cache.put_meta(path, meta)
+        return meta
+
+    def _probe_uncached(self, path: str) -> Optional[VideoMeta]:
         if self._native is not None:
             try:
                 with self._native.NativeVideo(path) as v:
@@ -87,7 +167,24 @@ class VideoReader:
         Sequential single-pass decode (no per-frame seek): dramatically
         faster than the reference's ``cap.set(POS_FRAMES)`` per sample and
         the natural feeding pattern for an HBM-resident frame tensor.
+        Results are served from / folded into the shared frame cache so
+        concurrent V-nodes decode each file at most once.
         """
+        wanted = sorted(set(int(i) for i in frame_ids))
+        if self._cache is None:
+            return self._sample_uncached(path, wanted)
+        with self._cache.lock_for(path):
+            store, missing = self._cache.lookup(path, wanted)
+            if missing:
+                frames, kept = self._sample_uncached(path, missing)
+                self._cache.insert(path, frames, kept)
+                store, _ = self._cache.lookup(path, wanted)
+            kept = [i for i in wanted if i in store]
+            if not kept:
+                return np.zeros((0, 0, 0, 3), np.uint8), []
+            return np.stack([store[i] for i in kept]), kept
+
+    def _sample_uncached(self, path: str, frame_ids: Sequence[int]) -> Tuple[np.ndarray, List[int]]:
         if self._native is not None:
             try:
                 with self._native.NativeVideo(path) as v:

@@ -1,0 +1,119 @@
+"""Shared frame cache: single decode across nodes, concurrency, eviction."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from fvd_tpu.providers import media
+
+
+@pytest.fixture(autouse=True)
+def fresh_cache():
+    media.clear_frame_cache()
+    yield
+    media.clear_frame_cache()
+
+
+@pytest.fixture
+def video(tmp_path):
+    path = str(tmp_path / "v.mp4")
+    frames = np.zeros((30, 48, 64, 3), np.uint8)
+    for i in range(30):
+        frames[i, :, :, 0] = i * 8
+    media.write_video(path, frames, 10.0)
+    return path
+
+
+def test_cache_serves_second_reader(video, monkeypatch):
+    reader = media.VideoReader()
+    decode_calls = []
+    orig = reader._sample_uncached
+
+    def counting(path, ids):
+        decode_calls.append(list(ids))
+        return orig(path, ids)
+
+    monkeypatch.setattr(reader, "_sample_uncached", counting)
+
+    f1, k1 = reader.sample(video, [0, 6, 12])
+    f2, k2 = reader.sample(video, [0, 6, 12])
+    assert k1 == k2 == [0, 6, 12]
+    assert len(decode_calls) == 1  # second call fully cached
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_cache_decodes_only_missing(video, monkeypatch):
+    reader = media.VideoReader()
+    decode_calls = []
+    orig = reader._sample_uncached
+
+    def counting(path, ids):
+        decode_calls.append(sorted(ids))
+        return orig(path, ids)
+
+    monkeypatch.setattr(reader, "_sample_uncached", counting)
+
+    reader.sample(video, [0, 10, 20])        # V1-style coarse grid
+    reader.sample(video, [0, 5, 10, 15, 20])  # V3-style finer grid
+    assert decode_calls == [[0, 10, 20], [5, 15]]
+
+
+def test_cache_concurrent_readers_single_decode(video, monkeypatch):
+    reader = media.VideoReader()
+    decode_calls = []
+    orig = reader._sample_uncached
+
+    def counting(path, ids):
+        decode_calls.append(sorted(ids))
+        return orig(path, ids)
+
+    monkeypatch.setattr(reader, "_sample_uncached", counting)
+    ids = list(range(0, 30, 3))
+    results = []
+
+    def worker():
+        results.append(reader.sample(video, ids))
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(decode_calls) == 1  # the path lock serialized; others hit cache
+    for frames, kept in results:
+        assert kept == ids
+
+
+def test_cache_eviction_bounds_memory(tmp_path):
+    media._frame_cache.max_frames = 40
+    try:
+        reader = media.VideoReader()
+        paths = []
+        for v in range(3):
+            p = str(tmp_path / f"v{v}.mp4")
+            media.write_video(p, np.zeros((20, 32, 32, 3), np.uint8), 10.0)
+            paths.append(p)
+            reader.sample(p, range(20))
+        total = sum(len(s) for s in media._frame_cache._frames.values())
+        assert total <= 40
+        # the most recent path is still resident
+        assert paths[-1] in media._frame_cache._frames
+    finally:
+        media._frame_cache.max_frames = 4096
+
+
+def test_cache_probe_memoized(video, monkeypatch):
+    reader = media.VideoReader()
+    calls = []
+    orig = reader._probe_uncached
+
+    def counting(path):
+        calls.append(path)
+        return orig(path)
+
+    monkeypatch.setattr(reader, "_probe_uncached", counting)
+    m1 = reader.probe(video)
+    m2 = reader.probe(video)
+    assert len(calls) == 1
+    assert m1 is m2
