@@ -26,12 +26,21 @@ def main(argv=None) -> int:
     parser.add_argument("label", nargs="?", type=int, help="Optional label (0 or 1)")
     parser.add_argument("--debug", action="store_true", help="Enable debug mode")
     parser.add_argument("--frontend", action="store_true", help="Launch the web UI")
+    parser.add_argument("--frontend-term", action="store_true",
+                        help="Launch the terminal UI instead of the web UI")
+    parser.add_argument("--port", type=int, default=8861, help="web UI port")
     args = parser.parse_args(argv)
 
-    if args.frontend:
+    if args.frontend_term:
         from fvd_tpu.ui.app import serve
 
         serve(prefill_url=args.input_path, debug=args.debug)
+        return 0
+
+    if args.frontend:
+        from fvd_tpu.ui.web import serve_web
+
+        serve_web(port=args.port, prefill_url=args.input_path)
         return 0
 
     if not args.input_path:

@@ -1,0 +1,318 @@
+"""Web frontend (reference ``app.py`` Streamlit role) on the stdlib.
+
+Serves a single-page app with:
+
+* an input form (video path/URL, debug toggle);
+* a live dependency-aware status board + SVG DAG render, polling
+  ``GET /status`` (the board logic is the shared
+  :class:`fvd_tpu.runtime.status.StatusBoard`, reference app.py:224-313);
+* a results panel: verdict card (FAKE if p > 0.5, app.py:332-334), feature
+  metrics, claims & evidence, transcript/OCR, raw state.
+
+No Streamlit/Flask dependency: ``http.server`` + a worker thread running the
+real Scheduler stream.
+"""
+
+from __future__ import annotations
+
+import html
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+from urllib.parse import parse_qs, urlparse
+
+from fvd_tpu.config import Config, default_config
+from fvd_tpu.graph import NODE_ORDER, build_graph
+from fvd_tpu.runtime.scheduler import Scheduler
+from fvd_tpu.runtime.status import StatusBoard
+from fvd_tpu.state import State
+
+
+class RunManager:
+    """One analysis run at a time; thread-safe snapshots for polling."""
+
+    def __init__(self, config: Optional[Config] = None, providers=None):
+        self.config = config or default_config()
+        self.providers = providers
+        self._lock = threading.Lock()
+        self._thread: Optional[threading.Thread] = None
+        self.reset()
+
+    def reset(self):
+        dag = build_graph(self.config, self.providers)
+        self.board = StatusBoard(NODE_ORDER, dag.edges())
+        self.running = False
+        self.error: Optional[str] = None
+        self.result: Optional[Dict[str, Any]] = None
+        self.input_path = ""
+
+    def graph_layout(self) -> Dict[str, Any]:
+        dag = build_graph(self.config, self.providers)
+        depth: Dict[str, int] = {}
+        for name in dag.topological_order():
+            deps = dag.nodes[name].deps
+            depth[name] = 1 + max((depth[d] for d in deps), default=-1)
+        cols: Dict[int, List[str]] = {}
+        for n, d in depth.items():
+            cols.setdefault(d, []).append(n)
+        pos = {}
+        for d, nodes in cols.items():
+            for i, n in enumerate(nodes):
+                pos[n] = {"x": 90 + d * 130, "y": 50 + i * 62}
+        return {"nodes": pos, "edges": dag.edges()}
+
+    def start(self, input_path: str, label: Optional[int], debug: bool) -> bool:
+        with self._lock:
+            if self.running:
+                return False
+            self.reset()
+            self.running = True
+            self.input_path = input_path
+
+        def work():
+            state = State(input_path=input_path, debug=debug)
+            if label is not None:
+                state.label = label
+            dag = build_graph(self.config, self.providers)
+            try:
+                for ev in Scheduler(dag).stream(state):
+                    if ev.node == "__end__":
+                        if ev.status == "error":
+                            with self._lock:
+                                self.error = ev.error
+                        else:
+                            final = ev.delta["__final_state__"]
+                            with self._lock:
+                                self.result = _summarize(final)
+                    elif ev.status == "done":
+                        with self._lock:
+                            self.board.mark_done([ev.node])
+                    elif ev.status == "error":
+                        with self._lock:
+                            self.error = f"{ev.node}: {ev.error}"
+            finally:
+                with self._lock:
+                    self.running = False
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+        return True
+
+    def snapshot(self) -> Dict[str, Any]:
+        with self._lock:
+            return {
+                "running": self.running,
+                "input": self.input_path,
+                "statuses": self.board.statuses(),
+                "error": self.error,
+                "result": self.result,
+            }
+
+
+def _summarize(state: State) -> Dict[str, Any]:
+    p = state.fake_probability
+    meta = state.metadata or {}
+    claims = []
+    for c in state.claims or []:
+        if isinstance(c, dict):
+            claims.append(
+                {
+                    "text": c.get("claim_text") or c.get("text", ""),
+                    "verdict": c.get("verdict", "?"),
+                    "score": c.get("evidence_score", 0.0),
+                    "evidence_count": c.get("evidence_count", 0),
+                }
+            )
+    ocr_text = []
+    for fr in state.ocr_results or []:
+        ocr_text.extend(d.get("text", "") for d in fr.get("detections", []))
+    return {
+        "fake_probability": p,
+        "verdict": "FAKE" if (p or 0.0) > 0.5 else "REAL",
+        "features": state.features,
+        "metadata": {
+            "duration": meta.get("duration"),
+            "fps": meta.get("fps"),
+            "size": meta.get("size"),
+            "title": meta.get("title"),
+        },
+        "transcript": (state.transcript or "")[:2000],
+        "ocr_text": ocr_text[:50],
+        "claims": claims,
+        "keyframes": len(state.keyframes or []),
+        "faces": sum(len(d.get("faces", [])) for d in (state.face_detections or [])),
+        "lip_sync_score": state.lip_sync_score,
+        "texture_ela_score": state.texture_ela_score,
+        "data_dir": state.data_dir,
+    }
+
+
+PAGE = """<!DOCTYPE html>
+<html><head><title>Fake Video Detection Engine (TPU)</title>
+<style>
+ body { font-family: system-ui, sans-serif; margin: 2em; background: #111; color: #eee; }
+ input[type=text] { width: 30em; padding: 6px; background:#222; color:#eee; border:1px solid #555; }
+ button { padding: 6px 16px; }
+ .done { fill: #2a4; } .running { fill: #fa0; } .queued { fill: #444; }
+ .node-label { fill: #fff; font-size: 12px; text-anchor: middle; dominant-baseline: middle; }
+ .edge { stroke: #666; stroke-width: 1.2; fill: none; marker-end: url(#arr); }
+ .card { border: 1px solid #444; border-radius: 8px; padding: 1em; margin: 1em 0; }
+ .fake { color: #f55; font-size: 1.6em; font-weight: bold; }
+ .real { color: #5f5; font-size: 1.6em; font-weight: bold; }
+ table { border-collapse: collapse; } td, th { border: 1px solid #444; padding: 4px 10px; }
+ .bar { height: 8px; background: #39f; display: inline-block; vertical-align: middle; }
+</style></head>
+<body>
+<h2>Fake Video Detection Engine <small style="color:#888">TPU-native</small></h2>
+<form onsubmit="start(); return false;">
+  <input type="text" id="path" placeholder="video path or URL">
+  <label><input type="checkbox" id="debug"> debug</label>
+  <select id="label"><option value="">no label</option><option value="0">real (0)</option><option value="1">fake (1)</option></select>
+  <button type="submit">Analyze</button>
+</form>
+<svg id="dag" width="900" height="460">
+  <defs><marker id="arr" markerWidth="8" markerHeight="8" refX="7" refY="3" orient="auto">
+    <path d="M0,0 L7,3 L0,6" fill="none" stroke="#666"/></marker></defs>
+</svg>
+<div id="error" style="color:#f66"></div>
+<div id="result"></div>
+<script>
+let layout = null;
+async function loadGraph() {
+  layout = await (await fetch('/graph')).json();
+  const svg = document.getElementById('dag');
+  for (const [src, dst] of layout.edges) {
+    const a = layout.nodes[src], b = layout.nodes[dst];
+    const e = document.createElementNS('http://www.w3.org/2000/svg', 'path');
+    e.setAttribute('d', `M ${a.x+28} ${a.y} C ${(a.x+b.x)/2} ${a.y}, ${(a.x+b.x)/2} ${b.y}, ${b.x-30} ${b.y}`);
+    e.setAttribute('class', 'edge');
+    svg.appendChild(e);
+  }
+  for (const [name, p] of Object.entries(layout.nodes)) {
+    const c = document.createElementNS('http://www.w3.org/2000/svg', 'ellipse');
+    c.setAttribute('cx', p.x); c.setAttribute('cy', p.y);
+    c.setAttribute('rx', 28); c.setAttribute('ry', 18);
+    c.setAttribute('id', 'node-' + name); c.setAttribute('class', 'queued');
+    svg.appendChild(c);
+    const t = document.createElementNS('http://www.w3.org/2000/svg', 'text');
+    t.setAttribute('x', p.x); t.setAttribute('y', p.y);
+    t.setAttribute('class', 'node-label'); t.textContent = name;
+    svg.appendChild(t);
+  }
+}
+async function start() {
+  const path = document.getElementById('path').value;
+  const debug = document.getElementById('debug').checked;
+  const label = document.getElementById('label').value;
+  await fetch('/analyze?path=' + encodeURIComponent(path) +
+              '&debug=' + debug + (label ? '&label=' + label : ''), {method: 'POST'});
+  poll();
+}
+async function poll() {
+  const s = await (await fetch('/status')).json();
+  for (const [name, st] of Object.entries(s.statuses)) {
+    const el = document.getElementById('node-' + name);
+    if (el) el.setAttribute('class', st);
+  }
+  document.getElementById('error').textContent = s.error || '';
+  if (s.result) render(s.result);
+  if (s.running) setTimeout(poll, 500);
+}
+function render(r) {
+  let h = `<div class="card"><span class="${r.verdict === 'FAKE' ? 'fake' : 'real'}">${r.verdict}</span>
+    &nbsp; fake_probability = ${(r.fake_probability ?? 0).toFixed(4)}
+    <div>duration ${r.metadata.duration ?? '?'}s · fps ${r.metadata.fps ?? '?'} ·
+     keyframes ${r.keyframes} · faces ${r.faces}</div></div>`;
+  if (r.features) {
+    h += '<div class="card"><h3>Features</h3><table>';
+    for (const [k, v] of Object.entries(r.features))
+      h += `<tr><td>${k}</td><td>${v.toFixed(4)}</td>
+            <td><span class="bar" style="width:${Math.min(100, v*100)}px"></span></td></tr>`;
+    h += '</table></div>';
+  }
+  if (r.claims && r.claims.length) {
+    h += '<div class="card"><h3>Claims &amp; Evidence</h3><table><tr><th>claim</th><th>verdict</th><th>score</th><th>sources</th></tr>';
+    for (const c of r.claims)
+      h += `<tr><td>${c.text}</td><td>${c.verdict}</td><td>${c.score}</td><td>${c.evidence_count}</td></tr>`;
+    h += '</table></div>';
+  }
+  if (r.transcript) h += `<div class="card"><h3>Transcript</h3><p>${r.transcript}</p></div>`;
+  if (r.ocr_text && r.ocr_text.length)
+    h += `<div class="card"><h3>On-screen text</h3><p>${r.ocr_text.join(' · ')}</p></div>`;
+  h += `<div class="card">artifacts: <code>${r.data_dir ?? ''}</code></div>`;
+  document.getElementById('result').innerHTML = h;
+}
+loadGraph().then(poll);
+</script>
+</body></html>
+"""
+
+
+def make_handler(manager: RunManager):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            parsed = urlparse(self.path)
+            if parsed.path == "/":
+                body = PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif parsed.path == "/status":
+                self._json(manager.snapshot())
+            elif parsed.path == "/graph":
+                self._json(manager.graph_layout())
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            if parsed.path == "/analyze":
+                q = parse_qs(parsed.query)
+                path = q.get("path", [""])[0]
+                if not path:
+                    self._json({"error": "path required"}, 400)
+                    return
+                debug = q.get("debug", ["false"])[0] == "true"
+                label_raw = q.get("label", [None])[0]
+                label = int(label_raw) if label_raw in ("0", "1") else None
+                started = manager.start(path, label, debug)
+                self._json({"started": started})
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def log_message(self, *args):  # quiet
+            pass
+
+    return Handler
+
+
+def serve_web(
+    host: str = "127.0.0.1",
+    port: int = 8861,
+    config: Optional[Config] = None,
+    providers=None,
+    prefill_url: Optional[str] = None,
+    block: bool = True,
+):
+    manager = RunManager(config, providers)
+    server = ThreadingHTTPServer((host, port), make_handler(manager))
+    print(f"Serving frontend at http://{host}:{server.server_address[1]}/")
+    if prefill_url:
+        manager.start(prefill_url, None, False)
+    if block:
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            print("\nFrontend closed.")
+    return server, manager
