@@ -309,9 +309,9 @@ class Downloader:
                 "URL ingest requires yt-dlp, which is not available in this "
                 "environment. Provide a local file path instead."
             )
-        import time
-
         import yt_dlp  # type: ignore
+
+        from fvd_tpu.runtime.retry import retry
 
         opts = {
             "outtmpl": os.path.join(out_dir, "video.%(ext)s"),
@@ -322,20 +322,22 @@ class Downloader:
         cookies = "cookies.txt"
         if os.path.exists(cookies):
             opts["cookiefile"] = cookies
-        last_exc: Optional[Exception] = None
-        for attempt in range(self.retries):
-            try:
-                with yt_dlp.YoutubeDL(opts) as ydl:
-                    info = ydl.extract_info(url, download=True)
-                    path = ydl.prepare_filename(info)
-                    meta = {
-                        "title": info.get("title"),
-                        "duration": info.get("duration"),
-                        "uploader": info.get("uploader"),
-                        "original_url": url,
-                    }
-                    return path, meta
-            except Exception as e:  # pragma: no cover - network path
-                last_exc = e
-                time.sleep(self.backoff_s * (attempt + 1))
-        raise RuntimeError(f"download failed after {self.retries} attempts: {last_exc}")
+
+        @retry(
+            attempts=self.retries,
+            backoff_s=self.backoff_s,
+            on_retry=lambda n, e: print(f"IN: download attempt {n} failed: {e}"),
+        )
+        def attempt() -> Tuple[str, dict]:  # pragma: no cover - network path
+            with yt_dlp.YoutubeDL(opts) as ydl:
+                info = ydl.extract_info(url, download=True)
+                path = ydl.prepare_filename(info)
+                meta = {
+                    "title": info.get("title"),
+                    "duration": info.get("duration"),
+                    "uploader": info.get("uploader"),
+                    "original_url": url,
+                }
+                return path, meta
+
+        return attempt()
