@@ -36,26 +36,33 @@ def run(state: State, config: Config = default_config()) -> StateDelta:
     samples, sr = read_wav(audio_path)
     y = jnp.asarray(to_mono(samples), jnp.float32)
 
-    onset_times = spectral.detect_onsets(
-        y,
-        sr,
-        n_fft=cfg.n_fft,
-        hop=cfg.hop_length,
-        n_mels=cfg.n_mels,
-        pre_max_s=cfg.peak_pre_max_s,
-        post_max_s=cfg.peak_post_max_s,
-        pre_avg_s=cfg.peak_pre_avg_s,
-        post_avg_s=cfg.peak_post_avg_s,
-        wait_s=cfg.peak_wait_s,
-        delta=cfg.peak_delta,
-    )
-    onset_list = [float(t) for t in onset_times]
-
     metadata = dict(state.get("metadata", {}) or {})
     fps = metadata.get("fps", 30.0)
     duration = metadata.get("duration")
 
-    envelope = spectral.fps_aligned_envelope(y, sr, fps, duration)
+    # Whole front-end in ONE device dispatch (onsets + envelope).
+    frames_per_s = sr / cfg.hop_length
+    to_frames = lambda s: max(int(round(s * frames_per_s)), 1)
+    env_hop = int(sr / fps)
+    env_target = int(duration * fps) if duration else 0
+    mask, envelope = spectral.audio_frontend_program(
+        y,
+        sr=sr,
+        n_fft=cfg.n_fft,
+        hop=cfg.hop_length,
+        n_mels=cfg.n_mels,
+        pre_max=to_frames(cfg.peak_pre_max_s),
+        post_max=max(int(round(cfg.peak_post_max_s * frames_per_s)), 0) + 1,
+        pre_avg=to_frames(cfg.peak_pre_avg_s),
+        post_avg=to_frames(cfg.peak_post_avg_s) + 1,
+        wait=to_frames(cfg.peak_wait_s),
+        delta=cfg.peak_delta,
+        env_frame=2 * env_hop,
+        env_hop=env_hop,
+        env_target=env_target,
+    )
+    onset_frames = np.nonzero(np.asarray(mask))[0]
+    onset_list = [float(f * cfg.hop_length / sr) for f in onset_frames]
     envelope_list = np.asarray(envelope).tolist()
 
     metadata["onset_detection_method"] = "spectral_flux_peak_pick"

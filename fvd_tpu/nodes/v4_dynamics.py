@@ -20,7 +20,7 @@ import numpy as np
 
 from fvd_tpu.config import Config, default_config
 from fvd_tpu.nodes._tracking import FaceTracker, TrackerConfig
-from fvd_tpu.ops.filters import eye_aspect_ratio, one_euro_scan
+from fvd_tpu.ops.filters import v4_smooth_program
 from fvd_tpu.providers import Providers, get_providers
 from fvd_tpu.providers.media import VideoReader, write_video
 from fvd_tpu.runtime.debug import dump_node_debug
@@ -92,16 +92,7 @@ def run(
             valid[i] = True
             crop_boxes[i] = list(tracker.active_box)  # already 10%-padded
 
-    # Landmark smoothing (EAR source), one scan (v4:254-258).
-    smoothed_lm = np.asarray(
-        one_euro_scan(
-            times, raw_track, valid,
-            min_cutoff=cfg.landmark_min_cutoff, beta=cfg.landmark_beta,
-        )
-    )
-
-    # Pose: ONE batched forward over all valid crops, then one smoothing scan
-    # (v4:267-287).
+    # Pose: ONE batched forward over all valid crops (v4:267-287).
     valid_idx = [i for i in range(T) if valid[i] and crop_boxes[i] is not None]
     raw_pose = np.zeros((T, 3), np.float64)
     pose_valid = np.zeros(T, bool)
@@ -120,12 +111,15 @@ def run(
                 raw_pose[i] = p  # (pitch, yaw, roll)
                 pose_valid[i] = True
 
-    smoothed_pose = np.asarray(
-        one_euro_scan(
-            times, raw_pose, pose_valid,
-            min_cutoff=cfg.pose_min_cutoff, beta=cfg.pose_beta,
-        )
+    # Both smoothing scans + EAR in one device dispatch (v4:254-287).
+    sm_lm, sm_ears, sm_pose = v4_smooth_program(
+        times, raw_track, valid, raw_pose, pose_valid,
+        lm_min_cutoff=cfg.landmark_min_cutoff, lm_beta=cfg.landmark_beta,
+        pose_min_cutoff=cfg.pose_min_cutoff, pose_beta=cfg.pose_beta,
     )
+    smoothed_lm = np.asarray(sm_lm)
+    smoothed_ears = np.asarray(sm_ears)
+    smoothed_pose = np.asarray(sm_pose)
 
     blink_data: List[Dict[str, Any]] = []
     head_pose_data: List[Dict[str, Any]] = []
@@ -134,10 +128,7 @@ def run(
     for i, fid in enumerate(kept_ids):
         frame = frames[i].copy()
         if valid[i]:
-            pts = smoothed_lm[i]
-            left_eye = pts[36:42]
-            right_eye = pts[42:48]
-            ear = (eye_aspect_ratio(left_eye) + eye_aspect_ratio(right_eye)) / 2.0
+            ear = float(smoothed_ears[i])
             blink_data.append(
                 {"frame_id": int(fid), "timestamp": float(times[i]), "ear": float(ear)}
             )

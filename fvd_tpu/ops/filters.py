@@ -100,6 +100,38 @@ def one_euro_scan(
     return out
 
 
+@partial(
+    jax.jit,
+    static_argnames=("lm_min_cutoff", "lm_beta", "pose_min_cutoff", "pose_beta"),
+)
+def v4_smooth_program(
+    times: jax.Array,
+    lm_track: jax.Array,     # [T, 68, D]
+    lm_valid: jax.Array,     # [T]
+    pose_track: jax.Array,   # [T, 3]
+    pose_valid: jax.Array,   # [T]
+    lm_min_cutoff: float = 0.5,
+    lm_beta: float = 0.1,
+    pose_min_cutoff: float = 0.1,
+    pose_beta: float = 0.1,
+):
+    """V4's whole smoothing stage in ONE dispatch: landmark OneEuro, EAR per
+    frame (eyes 36:48, reference v4:260-264), and pose OneEuro."""
+    sm_lm = one_euro_scan(times, lm_track, lm_valid,
+                          min_cutoff=lm_min_cutoff, beta=lm_beta)
+    sm_pose = one_euro_scan(times, pose_track, pose_valid,
+                            min_cutoff=pose_min_cutoff, beta=pose_beta)
+
+    def ear_of(eye):  # [T, 6, D]
+        A = jnp.linalg.norm(eye[:, 1] - eye[:, 5], axis=-1)
+        B = jnp.linalg.norm(eye[:, 2] - eye[:, 4], axis=-1)
+        C = jnp.linalg.norm(eye[:, 0] - eye[:, 3], axis=-1)
+        return jnp.where(C > 0, (A + B) / (2.0 * C), 0.0)
+
+    ears = (ear_of(sm_lm[:, 36:42]) + ear_of(sm_lm[:, 42:48])) / 2.0
+    return sm_lm, ears, sm_pose
+
+
 class OneEuroFilter:
     """Stateful host-side reference implementation (identical math) for
     call-at-a-time use and for testing the scan against."""

@@ -213,6 +213,41 @@ def interp_to_length(y: jax.Array, target_len: int) -> jax.Array:
     return jnp.interp(xq, xp, y)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "sr", "n_fft", "hop", "n_mels", "pre_max", "post_max", "pre_avg",
+        "post_avg", "wait", "delta", "env_frame", "env_hop", "env_target",
+    ),
+)
+def audio_frontend_program(
+    x: jax.Array,
+    sr: int,
+    n_fft: int,
+    hop: int,
+    n_mels: int,
+    pre_max: int,
+    post_max: int,
+    pre_avg: int,
+    post_avg: int,
+    wait: int,
+    delta: float,
+    env_frame: int,
+    env_hop: int,
+    env_target: int,
+):
+    """The whole A3 front-end as ONE device program: onset peak mask + the
+    fps-aligned RMS envelope.  A single dispatch per video matters when the
+    device sits behind a high-latency tunnel and in batched serving."""
+    env_strength = onset_strength(x, sr, n_fft, hop, n_mels)
+    env_strength = env_strength / jnp.maximum(jnp.max(env_strength), 1e-10)
+    mask = peak_pick_mask(env_strength, pre_max, post_max, pre_avg, post_avg, delta, wait)
+    rms = rms_envelope(x, frame_length=env_frame, hop=env_hop)
+    if env_target > 0 and rms.shape[0] != env_target:
+        rms = interp_to_length(rms, env_target)
+    return mask, rms
+
+
 def fps_aligned_envelope(
     x: jax.Array, sr: int, fps: float, duration: float | None
 ) -> jax.Array:
