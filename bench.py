@@ -63,15 +63,16 @@ def main() -> None:
     log(f"warmup: {time.perf_counter() - t0:.2f}s  p={final.fake_probability:.4f} "
         f"features={final.features}")
 
-    log("measuring...")
+    log("measuring (2-way cross-video overlap)...")
+    from fvd_tpu.batch import run_pipeline_many
+
     t0 = time.perf_counter()
-    for v in videos:
-        final = Scheduler(dag).invoke(State(input_path=v))
+    probs = run_pipeline_many(videos, config, providers, concurrency=2)
     elapsed = time.perf_counter() - t0
     per_video = elapsed / n_videos
     videos_per_min = 60.0 / per_video
 
-    log(f"{n_videos} videos in {elapsed:.2f}s -> {per_video:.2f}s/video")
+    log(f"{n_videos} videos in {elapsed:.2f}s -> {per_video:.2f}s/video; probs={probs}")
 
     print(json.dumps({
         "metric": "end_to_end_videos_per_min_30s_clips",

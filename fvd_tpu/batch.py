@@ -101,6 +101,28 @@ def run_pipeline(
         return None
 
 
+def run_pipeline_many(
+    video_paths: List[str],
+    config: Config,
+    providers: Optional[Providers] = None,
+    concurrency: int = 2,
+) -> List[Optional[float]]:
+    """Evaluate several videos with overlapped pipelines: while one video's
+    host work (decode, file I/O, tracking) runs, another's device programs
+    execute — the multi-video analog of the scheduler's intra-video overlap.
+    Unlabeled scoring only (online training stays sequential for weight
+    determinism)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    providers = providers or get_providers()
+    with ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
+        futures = [
+            pool.submit(run_pipeline, path, None, config, providers)
+            for path in video_paths
+        ]
+        return [f.result() for f in futures]
+
+
 def evaluate_video(
     video_path: str,
     train: bool,

@@ -115,8 +115,16 @@ class State:
     def to_dict(self) -> Dict[str, Any]:
         return {k: getattr(self, k) for k in self.field_names()}
 
+    #: Fields merged by dict-union instead of replacement.  ``metadata`` is
+    #: written by many nodes concurrently (A1/A2/A3/V1..V4 each add keys);
+    #: the reference mutates one shared dict in place under LangGraph, so its
+    #: effective semantics are union — pure last-writer-wins would drop the
+    #: other branch's keys (e.g. V1's video_fps lost when A3 finishes later).
+    _UNION_FIELDS = ("metadata",)
+
     def apply(self, delta: Optional[StateDelta]) -> "State":
-        """Return a new State with ``delta`` applied (last writer wins)."""
+        """Return a new State with ``delta`` applied: last writer wins per
+        field, except union-merged dict fields (see _UNION_FIELDS)."""
         if not delta:
             return self
         names = set(self.field_names())
@@ -126,7 +134,14 @@ class State:
                 f"Node wrote unknown state keys: {sorted(unknown)} — "
                 f"declare them in fvd_tpu.state.State"
             )
-        return dataclasses.replace(self, **dict(delta))
+        updates = dict(delta)
+        for key in self._UNION_FIELDS:
+            if key in updates:
+                current = getattr(self, key)
+                incoming = updates[key]
+                if isinstance(current, dict) and isinstance(incoming, dict):
+                    updates[key] = {**current, **incoming}
+        return dataclasses.replace(self, **updates)
 
 
 def merge_states(base: State, *deltas: Optional[StateDelta]) -> State:

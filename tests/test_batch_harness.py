@@ -128,3 +128,23 @@ def test_batch_main_fast_path(tmp_cwd):
     with open("results/out.txt") as f:
         table = f.read()
     assert "Total Accuracy: 100.00% (2/2)" in table
+
+
+def test_run_pipeline_many_concurrent(tmp_cwd):
+    import dataclasses
+
+    from fvd_tpu.config import EvidenceConfig
+    from fvd_tpu.synthetic import hermetic_providers, make_synthetic_video
+
+    cfg = dataclasses.replace(
+        default_config(), evidence=EvidenceConfig(rate_limit_s=0.0, max_workers=2)
+    )
+    videos = [
+        make_synthetic_video("media", name=f"c{i}", duration=2.0, fps=10.0,
+                             width=96, height=72)
+        for i in range(3)
+    ]
+    probs = batch.run_pipeline_many(videos, cfg, hermetic_providers(fps=10.0),
+                                    concurrency=2)
+    assert len(probs) == 3
+    assert all(p is not None and 0.0 <= p <= 1.0 for p in probs)

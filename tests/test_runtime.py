@@ -177,3 +177,31 @@ def test_status_board_render():
     lines = board.render_lines()
     assert lines[0] == "[x] IN"
     assert "[~] V1" in lines
+
+
+def test_metadata_union_merge_across_parallel_branches():
+    """metadata is union-merged: concurrent branches adding different keys
+    must not clobber each other (the reference mutates one shared dict, so
+    union is its effective semantics)."""
+    dag = DAG()
+    dag.add_node("IN", lambda s: {"metadata": {"duration": 5.0}})
+    dag.add_node("A", lambda s: {"metadata": {**s.get("metadata", {}), "audio_sr": 16000}},
+                 deps=["IN"])
+    dag.add_node("B", lambda s: {"metadata": {**s.get("metadata", {}), "video_fps": 30.0}},
+                 deps=["IN"])
+    final = Scheduler(dag, max_workers=4).invoke(State())
+    assert final.metadata == {"duration": 5.0, "audio_sr": 16000, "video_fps": 30.0}
+
+
+def test_metadata_union_same_key_last_writer_wins():
+    dag = DAG()
+    dag.add_node("IN", lambda s: {"metadata": {"x": 1}})
+    dag.add_node("A", lambda s: {"metadata": {"x": 2}}, deps=["IN"])
+    final = Scheduler(dag).invoke(State())
+    assert final.metadata == {"x": 2}
+
+
+def test_non_metadata_fields_still_overwrite():
+    s = State(claims=[{"a": 1}])
+    s2 = s.apply({"claims": [{"b": 2}]})
+    assert s2.claims == [{"b": 2}]
