@@ -59,12 +59,53 @@ class Scheduler:
         max_workers: int = 8,
         on_event: Optional[Callable[[NodeEvent], None]] = None,
         fail_fast: bool = True,
+        detect_conflicts: bool = False,
     ):
         dag.validate()
         self.dag = dag
         self.max_workers = max_workers
         self.on_event = on_event
         self.fail_fast = fail_fast
+        #: Race detection (no reference analog — SURVEY §5 notes the
+        #: reference has none): warn when two nodes with no ancestry
+        #: relationship overwrite the same state field.  Under last-writer-
+        #: wins merge, such a write's survival depends on completion order —
+        #: almost always a graph-wiring bug.
+        self.detect_conflicts = detect_conflicts
+        self.conflicts: List[str] = []
+        self._ancestors = self._compute_ancestors() if detect_conflicts else {}
+
+    def _compute_ancestors(self) -> Dict[str, Set[str]]:
+        order = self.dag.topological_order()
+        anc: Dict[str, Set[str]] = {}
+        for name in order:
+            deps = self.dag.nodes[name].deps
+            anc[name] = set(deps)
+            for d in deps:
+                anc[name] |= anc.get(d, set())
+        return anc
+
+    def _check_conflicts(self, node: str, delta: Optional[StateDelta],
+                         writers: Dict[str, str]) -> None:
+        if not delta:
+            return
+        from fvd_tpu.state import State as _State
+
+        for key in delta:
+            if key in _State._UNION_FIELDS:
+                continue
+            prev = writers.get(key)
+            if prev is not None and prev != node:
+                related = prev in self._ancestors.get(node, set()) or node in self._ancestors.get(prev, set())
+                if not related:
+                    msg = (
+                        f"write conflict on state field {key!r}: {prev!r} and "
+                        f"{node!r} are concurrent (no dependency edge) — the "
+                        f"surviving value depends on completion order"
+                    )
+                    self.conflicts.append(msg)
+                    print(f"Scheduler: WARNING - {msg}")
+            writers[key] = node
 
     # ------------------------------------------------------------------
     async def arun(self, state: State) -> State:
@@ -130,6 +171,7 @@ class Scheduler:
         )
         inflight: Dict["asyncio.Future", str] = {}
         current = state
+        writers: Dict[str, str] = {}
 
         async def emit(ev: NodeEvent):
             if self.on_event:
@@ -187,6 +229,8 @@ class Scheduler:
                         # skip descendants
                         self._poison_descendants(name, children, pending, failed)
                         continue
+                    if self.detect_conflicts:
+                        self._check_conflicts(name, delta, writers)
                     current = merged
                     done.add(name)
                     await emit(NodeEvent(node=name, status="done", delta=delta))

@@ -1,0 +1,58 @@
+"""IN node tests (reference tests/test_in_node.py semantics: synthetic
+video ingest, artifact layout, missing-file error)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fvd_tpu.nodes import ingest
+from fvd_tpu.state import State
+from fvd_tpu.synthetic import make_synthetic_video
+
+
+def test_local_ingest_artifacts(tmp_cwd):
+    video = make_synthetic_video("src", duration=2.0, fps=10.0, width=96, height=72)
+    delta = ingest.run(State(input_path=video))
+    ddir = delta["data_dir"]
+    assert os.path.isdir(ddir)
+    assert ddir.startswith("processed/video_")
+    assert os.path.exists(os.path.join(ddir, "video.mp4"))
+    # audio extracted (native shim or sibling wav)
+    assert os.path.exists(os.path.join(ddir, "audio.wav"))
+    meta = delta["metadata"]
+    assert meta["original_path"] == video
+    assert meta["fps"] == pytest.approx(10.0)
+    assert meta["duration"] == pytest.approx(2.0, abs=0.2)
+    assert meta["size"] == [96, 72]
+    assert os.path.exists(os.path.join(ddir, "IN_debug.json"))
+
+
+def test_missing_input_raises(tmp_cwd):
+    with pytest.raises(FileNotFoundError):
+        ingest.run(State(input_path="nope.mp4"))
+
+
+def test_video_without_audio_track(tmp_cwd):
+    # video only, no sibling wav
+    from fvd_tpu.providers.media import write_video
+
+    os.makedirs("src", exist_ok=True)
+    write_video("src/silent.mp4", np.zeros((10, 48, 64, 3), np.uint8), 10.0)
+    delta = ingest.run(State(input_path="src/silent.mp4"))
+    assert not os.path.exists(os.path.join(delta["data_dir"], "audio.wav"))
+    assert delta["metadata"]["fps"] == pytest.approx(10.0)
+
+
+def test_url_without_downloader_raises(tmp_cwd, monkeypatch):
+    from fvd_tpu.providers.media import Downloader
+
+    monkeypatch.setattr(Downloader, "available", property(lambda self: False))
+    with pytest.raises(RuntimeError, match="yt-dlp"):
+        ingest.run(State(input_path="https://example.com/v"))
+
+
+def test_debug_flag_propagates(tmp_cwd):
+    video = make_synthetic_video("src", duration=1.0, fps=10.0, width=64, height=48)
+    delta = ingest.run(State(input_path=video, debug=True))
+    assert delta["debug"] is True

@@ -205,3 +205,59 @@ def test_non_metadata_fields_still_overwrite():
     s = State(claims=[{"a": 1}])
     s2 = s.apply({"claims": [{"b": 2}]})
     assert s2.claims == [{"b": 2}]
+
+
+def test_conflict_detector_flags_concurrent_writers():
+    dag = DAG()
+    dag.add_node("IN", _noop)
+    dag.add_node("A", lambda s: {"transcript": "a"}, deps=["IN"])
+    dag.add_node("B", lambda s: {"transcript": "b"}, deps=["IN"])  # concurrent!
+    sched = Scheduler(dag, detect_conflicts=True)
+    sched.invoke(State())
+    assert len(sched.conflicts) == 1
+    assert "transcript" in sched.conflicts[0]
+
+
+def test_conflict_detector_allows_ordered_writers():
+    dag = DAG()
+    dag.add_node("IN", lambda s: {"transcript": "in"})
+    dag.add_node("A", lambda s: {"transcript": "a"}, deps=["IN"])  # ordered: fine
+    sched = Scheduler(dag, detect_conflicts=True)
+    sched.invoke(State())
+    assert sched.conflicts == []
+
+
+def test_conflict_detector_ignores_union_fields():
+    dag = DAG()
+    dag.add_node("IN", _noop)
+    dag.add_node("A", lambda s: {"metadata": {"a": 1}}, deps=["IN"])
+    dag.add_node("B", lambda s: {"metadata": {"b": 2}}, deps=["IN"])
+    sched = Scheduler(dag, detect_conflicts=True)
+    final = sched.invoke(State())
+    assert sched.conflicts == []
+    assert final.metadata == {"a": 1, "b": 2}
+
+
+def test_full_graph_has_no_write_conflicts():
+    """The real 16-node graph must be conflict-free under the detector."""
+    import dataclasses
+
+    from fvd_tpu.config import EvidenceConfig, default_config
+    from fvd_tpu.graph import build_graph
+    from fvd_tpu.synthetic import hermetic_providers, make_synthetic_video
+    import os, tempfile
+
+    cwd = os.getcwd()
+    tmp = tempfile.mkdtemp()
+    os.chdir(tmp)
+    try:
+        video = make_synthetic_video("m", duration=2.0, fps=10.0, width=96, height=72)
+        cfg = dataclasses.replace(
+            default_config(), evidence=EvidenceConfig(rate_limit_s=0.0, max_workers=2)
+        )
+        sched = Scheduler(build_graph(cfg, hermetic_providers(fps=10.0)),
+                          detect_conflicts=True)
+        sched.invoke(State(input_path=video))
+        assert sched.conflicts == []
+    finally:
+        os.chdir(cwd)
