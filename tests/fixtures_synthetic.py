@@ -1,13 +1,13 @@
 """Synthetic media + provider fixtures for integration tests.
 
-Mirrors the reference test strategy (SURVEY §4.1-4.2): generated media, no
-real models, scripted external services.
+Media/vision generators live in fvd_tpu.synthetic (shared with bench and
+demos); this module adds the scripted external-service providers the
+integration tests use (the reference test strategy, SURVEY §4.1-4.2).
 """
 
 from __future__ import annotations
 
 import os
-from typing import List
 
 import numpy as np
 
@@ -19,95 +19,22 @@ from fvd_tpu.providers import (
     StaticSearch,
     StubClip,
 )
-from fvd_tpu.providers.media import write_video
-from fvd_tpu.providers.vision import FaceBox
-from fvd_tpu.utils.wav import write_wav
+from fvd_tpu.synthetic import (  # noqa: F401  (re-exported for tests)
+    SyntheticFaceDetector,
+    SyntheticLandmarks,
+    make_synthetic_video,
+)
 
 FPS = 10.0
 DURATION = 6.0
-W, H = 160, 120
-FACE = (40, 20, 110, 90)  # x1, y1, x2, y2 bright square
 
 
 def make_video_with_audio(dirpath: str) -> str:
-    """A bright-square 'face' video + gated-tone sibling wav, mouth aperture
-    and audio gated by the same 1 Hz square wave (sync-able by C1)."""
-    os.makedirs(dirpath, exist_ok=True)
-    n = int(FPS * DURATION)
-    frames = np.zeros((n, H, W, 3), np.uint8)
-    for i in range(n):
-        frames[i, :, :] = 16
-        x1, y1, x2, y2 = FACE
-        frames[i, y1:y2, x1:x2] = 200
-        # "mouth": darker strip whose height tracks the gate
-        gate = 0.5 * (1 + np.sin(2 * np.pi * 1.0 * (i / FPS)))
-        mh = int(4 + 10 * gate)
-        frames[i, 70 : 70 + mh, 60:90] = 60
-    video_path = os.path.join(dirpath, "clip.mp4")
-    write_video(video_path, frames, FPS)
-
-    sr = 16000
-    t = np.arange(int(sr * DURATION)) / sr
-    gate = (np.sin(2 * np.pi * 1.0 * t) > 0).astype(np.float32)
-    sig = 0.5 * np.sin(2 * np.pi * 330 * t).astype(np.float32) * gate
-    write_wav(os.path.join(dirpath, "clip.wav"), sig, sr)
-    return video_path
-
-
-class SyntheticFaceDetector:
-    """Finds the bright square (a real detector stand-in with FaceBox API)."""
-
-    model_name = "synthetic_blob"
-
-    def detect_batch(self, frames: np.ndarray) -> List[List[FaceBox]]:
-        out = []
-        for frame in frames:
-            mask = frame.mean(axis=-1) > 120
-            ys, xs = np.nonzero(mask)
-            if len(xs) == 0:
-                out.append([])
-                continue
-            out.append(
-                [FaceBox(float(xs.min()), float(ys.min()), float(xs.max() + 1),
-                         float(ys.max() + 1), 0.95)]
-            )
-        return out
-
-
-def landmarks_for_frame(i: int, frame: np.ndarray):
-    """68 scripted landmarks inside the face box; mouth aperture follows the
-    same 1 Hz gate as the audio -> positive lip-sync correlation."""
-    x1, y1, x2, y2 = FACE
-    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
-    pts = np.zeros((68, 2))
-    # jaw + brows + nose + eyes: a rough ring
-    ang = np.linspace(0, 2 * np.pi, 48, endpoint=False)
-    pts[:48, 0] = cx + 30 * np.cos(ang)
-    pts[:48, 1] = cy + 30 * np.sin(ang)
-    # eyes at 36:48 — give them real EAR geometry
-    for base, ex in ((36, cx - 15), (42, cx + 15)):
-        pts[base + 0] = [ex - 6, cy - 10]
-        pts[base + 3] = [ex + 6, cy - 10]
-        pts[base + 1] = [ex - 2, cy - 12]
-        pts[base + 2] = [ex + 2, cy - 12]
-        pts[base + 4] = [ex + 2, cy - 8]
-        pts[base + 5] = [ex - 2, cy - 8]
-    # mouth 48:68
-    gate = 0.5 * (1 + np.sin(2 * np.pi * 1.0 * (i / FPS)))
-    aperture = 2 + 10 * gate
-    mouth_cx, mouth_cy = cx, cy + 18
-    outer = np.linspace(0, 2 * np.pi, 12, endpoint=False)
-    pts[48:60, 0] = mouth_cx + 12 * np.cos(outer)
-    pts[48:60, 1] = mouth_cy + aperture * np.sin(outer)
-    inner = np.linspace(0, 2 * np.pi, 8, endpoint=False)
-    pts[60:68, 0] = mouth_cx + 8 * np.cos(inner)
-    pts[60:68, 1] = mouth_cy + 0.7 * aperture * np.sin(inner)
-    return [pts]
+    return make_synthetic_video(dirpath, name="clip", duration=DURATION, fps=FPS,
+                                width=160, height=120, gate_hz=1.0)
 
 
 def scripted_providers() -> Providers:
-    from fvd_tpu.providers.vision import ScriptedLandmarks
-
     llm = ScriptedLLM(
         responses={
             "fact-checking assistant": {"claims": ["the moon landing happened in 1969"]},
@@ -143,6 +70,11 @@ def scripted_providers() -> Providers:
          np.full(60, 5.0)],
         axis=1,
     )
+    landmarks = SyntheticLandmarks(fps=FPS, gate_hz=1.0)
+    landmarks._poses = poses  # scripted pose track (reference V4 test style)
+    landmarks.pose_batch = lambda crops, _p=poses: _p[
+        np.arange(len(crops)) % len(_p)
+    ]
     return Providers(
         llm=llm,
         search=search,
@@ -151,5 +83,5 @@ def scripted_providers() -> Providers:
         ocr=ScriptedOCR([{"text": "BREAKING NEWS", "confidence": 0.9,
                           "bbox": [[0, 0], [50, 0], [50, 10], [0, 10]]}]),
         face_detector=SyntheticFaceDetector(),
-        landmarks=ScriptedLandmarks(frames_landmarks=landmarks_for_frame, poses=poses),
+        landmarks=landmarks,
     )
