@@ -42,7 +42,7 @@ def main() -> None:
     os.chdir(workdir)
 
     duration, fps = 30.0, 30.0
-    n_videos = 4
+    n_videos = 8
     log(f"generating {n_videos} synthetic videos ({duration}s @ {fps}fps, 320x240)...")
     videos = [
         make_synthetic_video("media", name=f"clip{i}", duration=duration, fps=fps,
@@ -63,11 +63,11 @@ def main() -> None:
     log(f"warmup: {time.perf_counter() - t0:.2f}s  p={final.fake_probability:.4f} "
         f"features={final.features}")
 
-    log("measuring (2-way cross-video overlap)...")
+    log("measuring (4-way cross-video overlap)...")
     from fvd_tpu.batch import run_pipeline_many
 
     t0 = time.perf_counter()
-    probs = run_pipeline_many(videos, config, providers, concurrency=2)
+    probs = run_pipeline_many(videos, config, providers, concurrency=4)
     elapsed = time.perf_counter() - t0
     per_video = elapsed / n_videos
     videos_per_min = 60.0 / per_video

@@ -96,10 +96,9 @@ def run(
             if crop is None or crop.size == 0:
                 continue
 
-            ela = np.asarray(forensics.ela_image(crop, cfg.jpeg_quality)).astype(np.uint8)
-            spectrum = np.asarray(
-                forensics.fft_spectrum(forensics.rgb_to_gray(crop))
-            ).astype(np.uint8)
+            ela_dev, spec_dev = forensics.forensics_program(crop, cfg.jpeg_quality)
+            ela = np.asarray(ela_dev).astype(np.uint8)
+            spectrum = np.asarray(spec_dev).astype(np.uint8)
 
             if ela_dir:
                 import cv2

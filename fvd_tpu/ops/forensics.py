@@ -101,6 +101,15 @@ def ela_image(rgb: jax.Array, quality: int = 90) -> jax.Array:
     return jnp.clip(diff * (255.0 / max_diff), 0.0, 255.0)
 
 
+@partial(jax.jit, static_argnames=("quality",))
+def forensics_program(rgb: jax.Array, quality: int = 90):
+    """Whole per-crop V5 device stage in ONE dispatch: ELA image + FFT
+    log-magnitude spectrum of the luma channel."""
+    ela = ela_image(rgb, quality)
+    spectrum = fft_spectrum(rgb_to_gray(rgb))
+    return ela, spectrum
+
+
 @jax.jit
 def fft_spectrum(gray: jax.Array) -> jax.Array:
     """20*log(|fftshift(fft2(gray))| + 1), min-max normalized to 0..255
