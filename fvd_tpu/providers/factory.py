@@ -55,16 +55,38 @@ def production_providers(
     if not getattr(llm, "available", False):
         llm = NullLLM()
 
+    # Weight-compatible HF Flax providers take precedence when the exact
+    # reference checkpoints were imported (tools/import_hf_weights.py).
+    text_encoder = None
+    clip = None
+    asr = None
+    hf_dir = os.path.join(checkpoint_dir, "hf")
+    if os.path.isdir(hf_dir):
+        from fvd_tpu.providers import hf_models
+
+        def _try(kind, loader):
+            path = os.path.join(hf_dir, kind)
+            if os.path.isdir(path):
+                try:
+                    return loader(path)
+                except Exception as e:
+                    print(f"providers: failed to load HF {kind}: {e}")
+            return None
+
+        text_encoder = _try("minilm", hf_models.HFTextEncoder.from_local)
+        clip = _try("clip", hf_models.HFClip.from_local)
+        asr = _try("whisper", hf_models.HFWhisperASR.from_local)
+
     return Providers(
         llm=llm,
         search=default_chain() if use_search else Providers().search,
-        text_encoder=encoders.JaxTextEncoder(
+        text_encoder=text_encoder or encoders.JaxTextEncoder(
             checkpoint=text_ckpt if os.path.exists(text_ckpt) else None
         ),
-        clip=encoders.JaxClip(
+        clip=clip or encoders.JaxClip(
             checkpoint=clip_ckpt if os.path.exists(clip_ckpt) else None
         ),
-        asr=EnergyVAD(),
+        asr=asr or EnergyVAD(),
         ocr=ocr.JaxOCR(),
         face_detector=detector,
         landmarks=landmarks,
