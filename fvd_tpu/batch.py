@@ -212,6 +212,9 @@ def main(argv=None) -> int:
     parser.add_argument("--videos-dir", default="videos")
     parser.add_argument("--results", default="results/batch_results.txt")
     parser.add_argument("--max-retries", type=int, default=100)
+    parser.add_argument("--concurrency", type=int, default=1,
+                        help="overlapped pipelines for unlabeled evaluation "
+                             "(ignored with --train: online SGD is sequential)")
     args = parser.parse_args(argv)
 
     config = default_config()
@@ -231,11 +234,26 @@ def main(argv=None) -> int:
         return 0 if args.train_device else 1
 
     rows = []
-    for path in videos:
-        label = get_label(path)
-        prob, attempts = evaluate_video(path, args.train, args.max_retries, config)
-        rows.append((os.path.basename(path), label, prob))
-        print(f"{os.path.basename(path)}: p={prob} (attempts={attempts})")
+    if args.concurrency > 1 and not args.train:
+        # fast-path cache hits first, overlapped pipelines for the rest
+        cached, uncached = [], []
+        for path in videos:
+            prob = run_local_lr(path, get_label(path), False, config)
+            (cached if prob is not None else uncached).append((path, prob))
+        probs = dict(cached)
+        if uncached:
+            results = run_pipeline_many([p for p, _ in uncached], config,
+                                        concurrency=args.concurrency)
+            probs.update({p: r for (p, _), r in zip(uncached, results)})
+        for path in videos:
+            rows.append((os.path.basename(path), get_label(path), probs.get(path)))
+            print(f"{os.path.basename(path)}: p={probs.get(path)}")
+    else:
+        for path in videos:
+            label = get_label(path)
+            prob, attempts = evaluate_video(path, args.train, args.max_retries, config)
+            rows.append((os.path.basename(path), label, prob))
+            print(f"{os.path.basename(path)}: p={prob} (attempts={attempts})")
 
     table = format_results(rows)
     os.makedirs(os.path.dirname(args.results) or ".", exist_ok=True)

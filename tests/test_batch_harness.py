@@ -148,3 +148,22 @@ def test_run_pipeline_many_concurrent(tmp_cwd):
                                     concurrency=2)
     assert len(probs) == 3
     assert all(p is not None and 0.0 <= p <= 1.0 for p in probs)
+
+
+def test_batch_main_concurrent_eval(tmp_cwd):
+    import dataclasses
+
+    from fvd_tpu.providers import set_providers, Providers
+    from fvd_tpu.synthetic import hermetic_providers, make_synthetic_video
+
+    make_synthetic_video("videos", name="a", duration=1.0, fps=10.0, width=64, height=48)
+    make_synthetic_video("videos", name="fake_b", duration=1.5, fps=10.0, width=64, height=48)
+    save_weights(default_config().fusion.weights_path, {"bias": 0.0})
+    old = set_providers(hermetic_providers(fps=10.0))
+    try:
+        rc = batch.main(["--concurrency", "2", "--results", "results/cc.txt"])
+    finally:
+        set_providers(Providers())
+    assert rc == 0
+    with open("results/cc.txt") as f:
+        assert "Total Accuracy" in f.read()

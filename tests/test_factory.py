@@ -1,0 +1,45 @@
+"""Provider factory + production pipeline smoke test."""
+
+import dataclasses
+import os
+
+import pytest
+
+from fvd_tpu.config import EvidenceConfig, default_config
+from fvd_tpu.graph import build_graph
+from fvd_tpu.providers.factory import production_providers
+from fvd_tpu.runtime.scheduler import Scheduler
+from fvd_tpu.state import State
+from fvd_tpu.synthetic import make_synthetic_video
+
+CHECKPOINT_DIR = os.path.join(os.path.dirname(__file__), "..", "checkpoints")
+
+
+def test_factory_builds_without_checkpoints(tmp_path):
+    prov = production_providers(checkpoint_dir=str(tmp_path / "none"),
+                                use_llm=False, use_search=False)
+    assert prov.face_detector is not None
+    assert prov.landmarks is not None
+    assert not prov.llm.available
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(CHECKPOINT_DIR, "face_ssd.npz")),
+    reason="trained checkpoints not present",
+)
+def test_production_pipeline_end_to_end(tmp_cwd):
+    """Full pipeline with the real trained models (no scripted vision)."""
+    video = make_synthetic_video("media", duration=2.0, fps=10.0,
+                                 width=160, height=120)
+    prov = production_providers(checkpoint_dir=os.path.abspath(CHECKPOINT_DIR),
+                                use_llm=False, use_search=False)
+    cfg = dataclasses.replace(
+        default_config(), evidence=EvidenceConfig(rate_limit_s=0.0, max_workers=2)
+    )
+    final = Scheduler(build_graph(cfg, prov)).invoke(State(input_path=video))
+    assert final.fake_probability is not None
+    assert 0.0 <= final.fake_probability <= 1.0
+    assert set(final.features) == {
+        "speech_rate", "pause_ratio", "lip_sync", "gesture_score", "blink_rate",
+        "headpose_jerk", "texture", "claim_reliability", "evidence_reliability",
+    }
