@@ -30,24 +30,34 @@ def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
     from fvd_tpu.models.synthetic_faces import detector_batch
     from fvd_tpu.ops import detection
 
+    from fvd_tpu.models.checkpointing import load_train_state, save_train_state
+
     rng = np.random.RandomState(seed)
-    if resume and os.path.exists(out):
-        params = face_ssd.load_params(out, width=width)
-        print(f"[det] resumed from {out}")
-    else:
-        params = face_ssd.init_params(jax.random.PRNGKey(seed), width=width)
+    params = face_ssd.init_params(jax.random.PRNGKey(seed), width=width)
     step_fn, init_opt = face_ssd.make_train_step(width=width, lr=lr)
     opt_state = init_opt(params)
+    start_step = 0
+    train_dir = os.path.join(os.path.dirname(out) or ".", "train_state_det")
+    if resume:
+        restored = load_train_state(train_dir, params, opt_state)
+        if restored is not None:
+            start_step, params, opt_state = restored
+            print(f"[det] resumed train state at step {start_step} from {train_dir}")
+        elif os.path.exists(out):
+            params = face_ssd.load_params(out, width=width)
+            print(f"[det] resumed params-only from {out}")
 
     t0 = time.perf_counter()
-    for i in range(steps):
+    for i in range(start_step, start_step + steps):
         frames, labels, locs, _ = detector_batch(rng, batch)
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(frames), jnp.asarray(labels), jnp.asarray(locs)
         )
-        if i % 50 == 0 or i == steps - 1:
+        if i % 50 == 0 or i == start_step + steps - 1:
             print(f"[det] step {i:4d} loss {float(loss):.4f} "
                   f"({time.perf_counter() - t0:.1f}s)", flush=True)
+        if i > start_step and i % 500 == 0:
+            save_train_state(train_dir, step=i, params=params, opt_state=opt_state)
 
     # eval: detection IoU on fresh samples
     frames, _, _, gt_boxes = detector_batch(rng, 16)
@@ -70,7 +80,9 @@ def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
 
     os.makedirs(os.path.dirname(out), exist_ok=True)
     face_ssd.save_params(out, params)
-    print(f"[det] saved {out}")
+    save_train_state(train_dir, step=start_step + steps, params=params,
+                     opt_state=opt_state)
+    print(f"[det] saved {out} (+ train state at step {start_step + steps})")
     return mean_iou
 
 
