@@ -37,7 +37,8 @@ def run(state: State, config: Config = default_config()) -> StateDelta:
     target_sr = config.audio.target_sr
     samples, sr = read_wav(input_path)
     mono = to_mono(samples)
-    resampled = np.asarray(resample(mono, sr, target_sr))
+    resampled_dev = resample(mono, sr, target_sr)  # stays on device for A2/A3
+    resampled = np.asarray(resampled_dev)
 
     output_path = os.path.join(output_dir, "audio_16k.wav")
     write_wav(output_path, resampled, target_sr)
@@ -47,4 +48,4 @@ def run(state: State, config: Config = default_config()) -> StateDelta:
     metadata["audio_channels"] = 1
 
     dump_node_debug(output_dir, "A1", {"audio_path": output_path})
-    return {"metadata": metadata}
+    return {"metadata": metadata, "audio_16k": resampled_dev}

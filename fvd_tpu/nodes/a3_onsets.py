@@ -28,13 +28,18 @@ from fvd_tpu.utils.wav import read_wav, to_mono
 def run(state: State, config: Config = default_config()) -> StateDelta:
     output_dir = state.get("data_dir")
     audio_path = os.path.join(output_dir or "", "audio_16k.wav")
-    if not output_dir or not os.path.exists(audio_path):
+    cfg = config.audio
+    cached = state.get("audio_16k")
+    if cached is not None:
+        # device-resident A1 output: no file re-read, no host->HBM transfer
+        y = jnp.asarray(cached, jnp.float32)
+        sr = cfg.target_sr
+    elif output_dir and os.path.exists(audio_path):
+        samples, sr = read_wav(audio_path)
+        y = jnp.asarray(to_mono(samples), jnp.float32)
+    else:
         print(f"A3: audio file not found at {audio_path}")
         return {}
-
-    cfg = config.audio
-    samples, sr = read_wav(audio_path)
-    y = jnp.asarray(to_mono(samples), jnp.float32)
 
     metadata = dict(state.get("metadata", {}) or {})
     fps = metadata.get("fps", 30.0)

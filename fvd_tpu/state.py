@@ -50,6 +50,9 @@ class State:
     audio_onsets: Optional[List[float]] = None
     onset_count: Optional[int] = None
     audio_envelope: Optional[Any] = None  # array-like [duration*fps]
+    audio_16k: Optional[Any] = None       # device-resident mono 16k samples
+                                          # (A1 output; file artifact is the
+                                          # durable copy, this skips re-reads)
 
     # --- vision branch ---
     keyframes: Optional[List[str]] = None

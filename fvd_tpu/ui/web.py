@@ -110,6 +110,13 @@ class RunManager:
             }
 
 
+def _downsample(values: List[float], limit: int = 200) -> List[float]:
+    if len(values) <= limit:
+        return [float(v) for v in values]
+    step = len(values) / limit
+    return [float(values[int(i * step)]) for i in range(limit)]
+
+
 def _summarize(state: State) -> Dict[str, Any]:
     p = state.fake_probability
     meta = state.metadata or {}
@@ -127,6 +134,53 @@ def _summarize(state: State) -> Dict[str, Any]:
     ocr_text = []
     for fr in state.ocr_results or []:
         ocr_text.extend(d.get("text", "") for d in fr.get("detections", []))
+
+    # Signals tab (reference app.py "Signals"): envelope, EAR track, MAR
+    # track, pose angles — downsampled for the sparkline renderer.
+    from fvd_tpu.nodes.c1_lipsync import calculate_mar
+
+    signals: Dict[str, List[float]] = {}
+    if state.audio_envelope:
+        signals["audio_envelope"] = _downsample(list(state.audio_envelope))
+    if state.blink_data:
+        signals["ear"] = _downsample([b.get("ear", 0.0) for b in state.blink_data])
+    if state.mouth_landmarks:
+        signals["mar"] = _downsample(
+            [
+                m["mar"] if "mar" in m else (calculate_mar(m.get("landmarks") or []) or 0.0)
+                for m in state.mouth_landmarks
+            ]
+        )
+    for angle in ("yaw", "pitch", "roll"):
+        if state.head_pose_data:
+            signals[angle] = _downsample(
+                [h.get("pose", {}).get(angle, 0.0) for h in state.head_pose_data]
+            )
+
+    # Frames & Faces tab: keyframe/crop artifact paths served via /artifact.
+    frames = []
+    for det in (state.face_detections or [])[:24]:
+        frames.append(
+            {
+                "frame_id": det.get("frame_id"),
+                "timestamp": det.get("timestamp"),
+                "keyframe": det.get("keyframe_path"),
+                "crops": [f.get("crop_path") for f in det.get("faces", [])
+                          if f.get("crop_path")],
+            }
+        )
+
+    # Raw-state tab: JSON-safe dump, long lists truncated.
+    raw: Dict[str, Any] = {}
+    for key, value in state.to_dict().items():
+        if isinstance(value, list) and len(value) > 20:
+            value = value[:20] + [f"... ({len(value)} items total)"]
+        try:
+            json.dumps(value)
+            raw[key] = value
+        except TypeError:
+            raw[key] = f"<non-JSON: {type(value).__name__}>"
+
     return {
         "fake_probability": p,
         "verdict": "FAKE" if (p or 0.0) > 0.5 else "REAL",
@@ -145,6 +199,13 @@ def _summarize(state: State) -> Dict[str, Any]:
         "lip_sync_score": state.lip_sync_score,
         "texture_ela_score": state.texture_ela_score,
         "data_dir": state.data_dir,
+        "signals": signals,
+        "frames": frames,
+        "viz": {
+            "landmarks": state.mouth_landmarks_viz_path,
+            "headpose": state.headpose_viz_path,
+        },
+        "raw_state": raw,
     }
 
 
@@ -240,8 +301,44 @@ function render(r) {
   if (r.transcript) h += `<div class="card"><h3>Transcript</h3><p>${r.transcript}</p></div>`;
   if (r.ocr_text && r.ocr_text.length)
     h += `<div class="card"><h3>On-screen text</h3><p>${r.ocr_text.join(' · ')}</p></div>`;
+  if (r.signals && Object.keys(r.signals).length) {
+    h += '<div class="card"><h3>Signals</h3>';
+    for (const [name, vals] of Object.entries(r.signals)) h += sparkline(name, vals);
+    h += '</div>';
+  }
+  if (r.frames && r.frames.length) {
+    h += '<div class="card"><h3>Frames &amp; Faces</h3><div style="display:flex;flex-wrap:wrap;gap:6px">';
+    for (const fr of r.frames) {
+      h += `<div style="text-align:center"><img src="/artifact?path=${encodeURIComponent(fr.keyframe)}"
+            style="height:80px"><br><small>t=${(fr.timestamp ?? 0).toFixed(1)}s</small></div>`;
+      for (const c of fr.crops.slice(0, 2))
+        h += `<img src="/artifact?path=${encodeURIComponent(c)}" style="height:80px">`;
+    }
+    h += '</div></div>';
+  }
+  if (r.viz && (r.viz.landmarks || r.viz.headpose)) {
+    h += '<div class="card"><h3>Media</h3>';
+    for (const [name, path] of Object.entries(r.viz))
+      if (path) h += `<div>${name}: <video controls height="160"
+        src="/artifact?path=${encodeURIComponent(path)}"></video></div>`;
+    h += '</div>';
+  }
+  if (r.raw_state)
+    h += `<div class="card"><details><summary>Raw state</summary>
+      <pre style="max-height:400px;overflow:auto">${JSON.stringify(r.raw_state, null, 1)}</pre></details></div>`;
   h += `<div class="card">artifacts: <code>${r.data_dir ?? ''}</code></div>`;
   document.getElementById('result').innerHTML = h;
+}
+function sparkline(name, vals) {
+  const w = 360, hh = 42;
+  const mn = Math.min(...vals), mx = Math.max(...vals);
+  const span = (mx - mn) || 1;
+  const pts = vals.map((v, i) =>
+    `${(i / (vals.length - 1 || 1) * w).toFixed(1)},${(hh - 4 - (v - mn) / span * (hh - 8)).toFixed(1)}`
+  ).join(' ');
+  return `<div><small>${name} [${mn.toFixed(2)} … ${mx.toFixed(2)}]</small><br>
+    <svg width="${w}" height="${hh}"><polyline points="${pts}"
+    fill="none" stroke="#39f" stroke-width="1.5"/></svg></div>`;
 }
 loadGraph().then(poll);
 </script>
@@ -272,8 +369,45 @@ def make_handler(manager: RunManager):
                 self._json(manager.snapshot())
             elif parsed.path == "/graph":
                 self._json(manager.graph_layout())
+            elif parsed.path == "/artifact":
+                self._artifact(parse_qs(parsed.query).get("path", [""])[0])
             else:
                 self._json({"error": "not found"}, 404)
+
+        def _artifact(self, rel_path: str):
+            """Serve a run artifact; restricted to the current run's
+            data_dir (no traversal outside it)."""
+            import os
+
+            snap = manager.snapshot()
+            data_dir = (snap.get("result") or {}).get("data_dir")
+            if not data_dir or not rel_path:
+                self._json({"error": "no artifact"}, 404)
+                return
+            base = os.path.realpath(data_dir)
+            target = os.path.realpath(rel_path)
+            if not target.startswith(base + os.sep) and target != base:
+                self._json({"error": "forbidden"}, 403)
+                return
+            if not os.path.isfile(target):
+                self._json({"error": "not found"}, 404)
+                return
+            ctype = "application/octet-stream"
+            if target.endswith((".jpg", ".jpeg")):
+                ctype = "image/jpeg"
+            elif target.endswith(".png"):
+                ctype = "image/png"
+            elif target.endswith(".mp4"):
+                ctype = "video/mp4"
+            elif target.endswith((".json", ".txt")):
+                ctype = "text/plain"
+            with open(target, "rb") as f:
+                body = f.read()
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def do_POST(self):
             parsed = urlparse(self.path)

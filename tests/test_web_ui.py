@@ -93,3 +93,37 @@ def test_full_run_through_server(server):
     # covered by the manager contract (started False)
     _, resp2 = _post(base + f"/analyze?path={urllib.request.quote(video)}")
     assert "started" in resp2
+
+
+def test_artifact_endpoint_serves_and_restricts(server):
+    base, video = server
+    # ensure a finished run exists
+    _post(base + f"/analyze?path={urllib.request.quote(video)}")
+    deadline = time.time() + 120
+    result = None
+    while time.time() < deadline:
+        _, body = _get(base + "/status")
+        snap = json.loads(body)
+        if snap["result"]:
+            result = snap["result"]
+            break
+        time.sleep(0.5)
+    assert result is not None
+
+    # a keyframe inside data_dir serves
+    frames = result["frames"]
+    assert frames and frames[0]["keyframe"]
+    status, body = _get(base + "/artifact?path=" +
+                        urllib.request.quote(frames[0]["keyframe"]))
+    assert status == 200
+    assert body[:2] == b"\xff\xd8"  # JPEG magic
+
+    # signals present for the synthetic run
+    assert "audio_envelope" in result["signals"]
+    assert "mar" in result["signals"]
+    assert len(result["signals"]["mar"]) <= 200
+
+    # traversal outside data_dir is forbidden
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(base + "/artifact?path=/etc/passwd", timeout=10)
+    assert exc.value.code == 403
