@@ -15,7 +15,7 @@ the A2 node records it in metadata).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax

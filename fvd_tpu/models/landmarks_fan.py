@@ -20,14 +20,12 @@ tests/test_models.py prove trainability.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import List
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from fvd_tpu.providers.vision import FaceBox
 
 CROP_SIZE = 128
 HEATMAP_SIZE = 32

@@ -16,14 +16,12 @@ Role (SURVEY §2.4): EasyOCR's CRAFT detector + CRNN recognizer in V2
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from fvd_tpu.models.transformer import ByteTokenizer
 
 LINE_H, LINE_W = 32, 256
 DET_SIZE = 256

@@ -20,8 +20,6 @@ import uuid
 from datetime import datetime
 from typing import Any, Dict, List, Optional
 
-import numpy as np
-
 from fvd_tpu.config import Config, default_config
 from fvd_tpu.providers import Providers, get_providers
 from fvd_tpu.providers.encoders import cosine

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, List, Optional
+from typing import Dict, List
 
 from fvd_tpu.config import Config, default_config
 from fvd_tpu.ops import fusion

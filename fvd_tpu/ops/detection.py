@@ -11,7 +11,7 @@ backbone forward + decode + NMS — jits as one program over a frame batch.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ Also: IoU with the reference's +1 pixel convention (v3:48-61).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

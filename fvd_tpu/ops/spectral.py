@@ -14,7 +14,6 @@ reduce-window program rather than librosa's sequential numpy loop.
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

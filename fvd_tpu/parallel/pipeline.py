@@ -17,14 +17,12 @@ Numerics match the single-device kernels exactly (tested vs
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from fvd_tpu.ops.lipsync import EPS, _top_half_mean
 

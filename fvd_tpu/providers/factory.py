@@ -15,7 +15,6 @@ each seam:
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 from fvd_tpu.providers import Providers
 from fvd_tpu.providers.asr import EnergyVAD

@@ -14,8 +14,6 @@ classes are exercised hermetically with random-init configs in tests.
 
 from __future__ import annotations
 
-import os
-from functools import partial
 from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np

@@ -10,7 +10,7 @@ implementations are single jitted forwards over ``uint8[T, H, W, 3]``.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, List, Optional, Protocol, Sequence
+from typing import Any, Dict, List, Optional, Protocol
 
 import numpy as np
 

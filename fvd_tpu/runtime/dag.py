@@ -9,7 +9,7 @@ just nodes, edges and a topological order check at build time.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
+from typing import Callable, Dict, List, Sequence, Set, Tuple
 
 from fvd_tpu.state import State, StateDelta
 

@@ -9,7 +9,7 @@ deterministic detector/landmark providers with the production batch APIs.
 from __future__ import annotations
 
 import os
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -15,7 +15,6 @@ real Scheduler stream.
 
 from __future__ import annotations
 
-import html
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
