@@ -111,18 +111,25 @@ def load_params(path: str, width: int = 32):
 # ---------------------------------------------------------------------------
 # Inference: one jitted program over the frame batch
 # ---------------------------------------------------------------------------
-@partial(jax.jit, static_argnames=("width", "max_out"))
+@partial(jax.jit, static_argnames=("width", "max_out", "compute_dtype"))
 def detect_batch_jit(
     params,
     frames: jax.Array,  # uint8 [B, H, W, 3]
     width: int = 32,
     max_out: int = 32,
+    compute_dtype=jnp.bfloat16,
 ) -> Tuple[jax.Array, jax.Array]:
-    """-> (boxes [B, max_out, 4] normalized corners, scores [B, max_out])."""
+    """-> (boxes [B, max_out, 4] normalized corners, scores [B, max_out]).
+
+    The backbone runs in ``compute_dtype`` (bfloat16 by default: 2x MXU
+    throughput on TPU; detection heads' decode/NMS stay float32)."""
     x = frames.astype(jnp.float32)
     x = jax.image.resize(x, (x.shape[0], INPUT_SIZE, INPUT_SIZE, 3), "linear")
-    x = x - jnp.asarray(MEAN_RGB)
-    loc, conf = FaceSSD(width=width).apply(params, x)
+    x = (x - jnp.asarray(MEAN_RGB)).astype(compute_dtype)
+    cast_params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
+    loc, conf = FaceSSD(width=width).apply(cast_params, x)
+    loc = loc.astype(jnp.float32)
+    conf = conf.astype(jnp.float32)
     boxes = detection.decode_boxes(loc, jnp.asarray(anchors()))
     scores = jax.nn.sigmoid(conf)
 

@@ -165,13 +165,18 @@ def load_params(path: str, template):
 # ---------------------------------------------------------------------------
 # Jitted batch forwards
 # ---------------------------------------------------------------------------
-@partial(jax.jit, static_argnames=("width",))
-def landmarks_forward(params, crops: jax.Array, width: int = 64) -> jax.Array:
-    """crops uint8 [B, S, S, 3] -> landmark coords [B, 68, 2] in crop [0,1]."""
+@partial(jax.jit, static_argnames=("width", "compute_dtype"))
+def landmarks_forward(params, crops: jax.Array, width: int = 64,
+                      compute_dtype=jnp.bfloat16) -> jax.Array:
+    """crops uint8 [B, S, S, 3] -> landmark coords [B, 68, 2] in crop [0,1].
+
+    Backbone in ``compute_dtype`` (bf16 default); the soft-argmax decode
+    runs in float32 for coordinate precision."""
     x = crops.astype(jnp.float32) / 255.0
     x = jax.image.resize(x, (x.shape[0], CROP_SIZE, CROP_SIZE, 3), "linear")
-    hm = LandmarkHourglass(width=width).apply(params, x)
-    return decode_heatmaps(hm)
+    cast_params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
+    hm = LandmarkHourglass(width=width).apply(cast_params, x.astype(compute_dtype))
+    return decode_heatmaps(hm.astype(jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("width",))
