@@ -77,6 +77,7 @@ class LandmarkConfig:
     pose_beta: float = 0.1
     pose_crop_pad_frac: float = 0.1    # v4:244-245
     crop_size: int = 256               # model input for landmark regression
+    stream_chunk_frames: int = 512     # bounded-memory chunking for long videos
 
 
 @dataclass(frozen=True)

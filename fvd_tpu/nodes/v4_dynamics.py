@@ -7,8 +7,10 @@ beta 0.1), SixDRepNet pose on the padded crop smoothed with a *stronger*
 OneEuro (min_cutoff 0.1, beta 0.1), ``headpose_viz.mp4``, metadata
 blink/pose model names.
 
-TPU-native: batched landmark forward, batched pose forward over the gathered
-crop batch, and both smoothing passes as masked ``lax.scan`` programs.
+TPU-native: frames stream in bounded chunks (one decoder pass), landmark and
+pose forwards batch per chunk, and the whole smoothing stage (two OneEuro
+scans + EAR) is one chunk-resumable device dispatch with carried filter
+states.
 """
 
 from __future__ import annotations
@@ -20,9 +22,9 @@ import numpy as np
 
 from fvd_tpu.config import Config, default_config
 from fvd_tpu.nodes._tracking import FaceTracker, TrackerConfig
-from fvd_tpu.ops.filters import v4_smooth_program
+from fvd_tpu.ops.filters import one_euro_init_carry, v4_smooth_chunk
 from fvd_tpu.providers import Providers, get_providers
-from fvd_tpu.providers.media import VideoReader, write_video
+from fvd_tpu.providers.media import IncrementalVideoWriter, StreamingSampler, VideoReader
 from fvd_tpu.runtime.debug import dump_node_debug
 from fvd_tpu.state import State, StateDelta
 
@@ -52,14 +54,16 @@ def run(
         print("V4: no landmark model configured; skipping.")
         return {}
 
-    reader = VideoReader()
-    frames, kept_ids, meta = reader.sample_at_fps(video_path, cfg.sample_fps)
-    if len(kept_ids) == 0:
-        print("V4: no frames decoded.")
+    meta = VideoReader().probe(video_path)
+    if meta is None:
+        print("V4: cannot probe video.")
         return {}
     fps = meta.fps
-
-    all_landmarks = providers.landmarks.landmarks_batch(frames)
+    stride = max(1, int(round(fps / cfg.sample_fps))) if fps else 1
+    sample_ids = list(range(0, meta.frame_count, stride))
+    if not sample_ids:
+        print("V4: no frames to sample.")
+        return {}
 
     # Tracking: V4 keeps a 10%-padded active box and has no aspect gate
     # (v4:182-251).
@@ -74,92 +78,102 @@ def run(
         )
     )
 
-    T = len(kept_ids)
-    times = np.array([fid / fps if fps else i for i, fid in enumerate(kept_ids)], np.float64)
-    n_pts = 68
-    dim = 3
-    raw_track = np.zeros((T, n_pts, dim), np.float64)
-    valid = np.zeros(T, bool)
-    crop_boxes: List[Optional[List[int]]] = [None] * T
+    viz_fps = max(1.0, fps / stride) if fps else 1.0
+    viz_path = os.path.join(output_dir, "headpose_viz.mp4")
+    viz = IncrementalVideoWriter(viz_path, viz_fps)
 
-    for i, lm_list in enumerate(all_landmarks):
-        idx = tracker.select([np.asarray(lm)[:, :2] for lm in lm_list])
-        if idx != -1:
-            lm = np.asarray(lm_list[idx], np.float64)
-            if lm.shape[1] < dim:  # 2D provider: zero z
-                lm = np.concatenate([lm, np.zeros((lm.shape[0], dim - lm.shape[1]))], axis=1)
-            raw_track[i] = lm[:n_pts]
-            valid[i] = True
-            crop_boxes[i] = list(tracker.active_box)  # already 10%-padded
-
-    # Pose: ONE batched forward over all valid crops (v4:267-287).
-    valid_idx = [i for i in range(T) if valid[i] and crop_boxes[i] is not None]
-    raw_pose = np.zeros((T, 3), np.float64)
-    pose_valid = np.zeros(T, bool)
-    if valid_idx:
-        crops = []
-        usable = []
-        for i in valid_idx:
-            x1, y1, x2, y2 = crop_boxes[i]
-            crop = frames[i][y1:y2, x1:x2]
-            if crop.size > 0:
-                crops.append(_resize_crop(crop, cfg.crop_size))
-                usable.append(i)
-        if crops:
-            poses = np.asarray(providers.landmarks.pose_batch(np.stack(crops)))
-            for i, p in zip(usable, poses):
-                raw_pose[i] = p  # (pitch, yaw, roll)
-                pose_valid[i] = True
-
-    # Both smoothing scans + EAR in one device dispatch (v4:254-287).
-    sm_lm, sm_ears, sm_pose = v4_smooth_program(
-        times, raw_track, valid, raw_pose, pose_valid,
-        lm_min_cutoff=cfg.landmark_min_cutoff, lm_beta=cfg.landmark_beta,
-        pose_min_cutoff=cfg.pose_min_cutoff, pose_beta=cfg.pose_beta,
-    )
-    smoothed_lm = np.asarray(sm_lm)
-    smoothed_ears = np.asarray(sm_ears)
-    smoothed_pose = np.asarray(sm_pose)
-
+    n_pts, dim = 68, 3
+    lm_carry = one_euro_init_carry((n_pts, dim))
+    pose_carry = one_euro_init_carry((3,))
     blink_data: List[Dict[str, Any]] = []
     head_pose_data: List[Dict[str, Any]] = []
-    viz_frames: List[np.ndarray] = []
+    processed = 0
 
-    for i, fid in enumerate(kept_ids):
-        frame = frames[i].copy()
-        if valid[i]:
-            ear = float(smoothed_ears[i])
-            blink_data.append(
-                {"frame_id": int(fid), "timestamp": float(times[i]), "ear": float(ear)}
-            )
-            try:
-                import cv2
-
-                if crop_boxes[i]:
-                    x1, y1, x2, y2 = crop_boxes[i]
-                    cv2.rectangle(frame, (x1, y1), (x2, y2), (255, 255, 0), 1)
-                cv2.putText(frame, f"EAR: {ear:.2f}", (10, 30),
-                            cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 0, 0), 2)
-            except Exception:
-                pass
-        if pose_valid[i]:
-            pitch, yaw, roll = smoothed_pose[i]
-            head_pose_data.append(
-                {
-                    "frame_id": int(fid),
-                    "timestamp": float(times[i]),
-                    "pose": {"pitch": float(pitch), "yaw": float(yaw), "roll": float(roll)},
-                }
-            )
-        viz_frames.append(frame)
-
-    viz_path = os.path.join(output_dir, "headpose_viz.mp4")
     try:
-        stride = max(1, int(round(fps / cfg.sample_fps))) if fps else 1
-        viz_fps = max(1.0, fps / stride) if fps else 1.0
-        write_video(viz_path, np.stack(viz_frames), viz_fps)
-    except Exception as e:
-        print(f"V4: viz write failed: {e}")
+        for frames, kept_ids in StreamingSampler(video_path, sample_ids,
+                                                 chunk_size=cfg.stream_chunk_frames):
+            all_landmarks = providers.landmarks.landmarks_batch(frames)
+
+            T = len(kept_ids)
+            times = np.array(
+                [fid / fps if fps else processed + i for i, fid in enumerate(kept_ids)],
+                np.float64,
+            )
+            raw_track = np.zeros((T, n_pts, dim), np.float64)
+            valid = np.zeros(T, bool)
+            crop_boxes: List[Optional[List[int]]] = [None] * T
+            for i, lm_list in enumerate(all_landmarks):
+                idx = tracker.select([np.asarray(lm)[:, :2] for lm in lm_list])
+                if idx != -1:
+                    lm = np.asarray(lm_list[idx], np.float64)
+                    if lm.shape[1] < dim:  # 2D provider: zero z
+                        lm = np.concatenate(
+                            [lm, np.zeros((lm.shape[0], dim - lm.shape[1]))], axis=1
+                        )
+                    raw_track[i] = lm[:n_pts]
+                    valid[i] = True
+                    crop_boxes[i] = list(tracker.active_box)  # already padded
+
+            # Pose: ONE batched forward per chunk (v4:267-287).
+            raw_pose = np.zeros((T, 3), np.float64)
+            pose_valid = np.zeros(T, bool)
+            crops, usable = [], []
+            for i in range(T):
+                if valid[i] and crop_boxes[i] is not None:
+                    x1, y1, x2, y2 = crop_boxes[i]
+                    crop = frames[i][y1:y2, x1:x2]
+                    if crop.size > 0:
+                        crops.append(_resize_crop(crop, cfg.crop_size))
+                        usable.append(i)
+            if crops:
+                poses = np.asarray(providers.landmarks.pose_batch(np.stack(crops)))
+                for i, p in zip(usable, poses):
+                    raw_pose[i] = p  # (pitch, yaw, roll)
+                    pose_valid[i] = True
+
+            # Both smoothing scans + EAR, one chunk-resumable dispatch.
+            sm_lm, sm_ears, sm_pose, lm_carry, pose_carry = v4_smooth_chunk(
+                lm_carry, pose_carry, times, raw_track, valid, raw_pose, pose_valid,
+                lm_min_cutoff=cfg.landmark_min_cutoff, lm_beta=cfg.landmark_beta,
+                pose_min_cutoff=cfg.pose_min_cutoff, pose_beta=cfg.pose_beta,
+            )
+            smoothed_ears = np.asarray(sm_ears)
+            smoothed_pose = np.asarray(sm_pose)
+
+            viz_frames = []
+            for i, fid in enumerate(kept_ids):
+                frame = frames[i].copy()
+                if valid[i]:
+                    ear = float(smoothed_ears[i])
+                    blink_data.append(
+                        {"frame_id": int(fid), "timestamp": float(times[i]), "ear": ear}
+                    )
+                    try:
+                        import cv2
+
+                        if crop_boxes[i]:
+                            x1, y1, x2, y2 = crop_boxes[i]
+                            cv2.rectangle(frame, (x1, y1), (x2, y2), (255, 255, 0), 1)
+                        cv2.putText(frame, f"EAR: {ear:.2f}", (10, 30),
+                                    cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 0, 0), 2)
+                    except Exception:
+                        pass
+                if pose_valid[i]:
+                    pitch, yaw, roll = smoothed_pose[i]
+                    head_pose_data.append(
+                        {
+                            "frame_id": int(fid),
+                            "timestamp": float(times[i]),
+                            "pose": {"pitch": float(pitch), "yaw": float(yaw),
+                                     "roll": float(roll)},
+                        }
+                    )
+                viz_frames.append(frame)
+            viz.append(np.stack(viz_frames))
+            processed += T
+    finally:
+        viz.close()
+    if not os.path.exists(viz_path):
         viz_path = None
 
     metadata = dict(state.get("metadata", {}) or {})

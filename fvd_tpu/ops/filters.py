@@ -98,6 +98,98 @@ def one_euro_scan(
     return out
 
 
+def one_euro_init_carry(value_shape, dtype=jnp.float32):
+    """Fresh (uninitialized) filter carry for the chunked scan."""
+    zero = jnp.zeros(value_shape, dtype)
+    return (jnp.bool_(False), jnp.float32(0.0), zero, zero)
+
+
+@partial(jax.jit, static_argnames=("min_cutoff", "beta", "d_cutoff"))
+def one_euro_scan_chunk(
+    carry,
+    times: jax.Array,
+    values: jax.Array,
+    valid: jax.Array,
+    min_cutoff: float = 1.0,
+    beta: float = 0.0,
+    d_cutoff: float = 1.0,
+):
+    """Chunk-resumable variant of :func:`one_euro_scan`: takes and returns
+    the filter carry so long videos can be smoothed chunk by chunk with
+    bounded memory, bit-identical to one whole-track scan (tested)."""
+    values = values.astype(jnp.float32)
+    times = times.astype(jnp.float32)
+
+    def sf(t_e, cutoff):
+        r = 2.0 * jnp.pi * cutoff * t_e
+        return r / (r + 1.0)
+
+    def step(carry, inp):
+        initialized, t_prev, x_prev, dx_prev = carry
+        t, x, ok = inp
+        t_e = t - t_prev
+        safe_te = jnp.where(t_e != 0, t_e, 1.0)
+        a_d = sf(safe_te, d_cutoff)
+        dx = (x - x_prev) / safe_te
+        dx_hat = a_d * dx + (1.0 - a_d) * dx_prev
+        cutoff = min_cutoff + beta * jnp.abs(dx_hat)
+        a = sf(safe_te, cutoff)
+        x_hat = a * x + (1.0 - a) * x_prev
+
+        out_init = x
+        new_carry_init = (jnp.bool_(True), t, x, jnp.zeros_like(x))
+        new_carry_filt = (jnp.bool_(True), t, x_hat, dx_hat)
+        use_init = jnp.logical_and(ok, jnp.logical_not(initialized))
+        use_filt = jnp.logical_and(ok, initialized)
+        out = jnp.where(use_init, out_init, jnp.where(use_filt, x_hat, jnp.nan))
+        new_carry = jax.tree.map(
+            lambda i, f, keep: jnp.where(use_init, i, jnp.where(use_filt, f, keep)),
+            new_carry_init, new_carry_filt, carry,
+        )
+        return new_carry, out
+
+    carry, out = jax.lax.scan(step, carry, (times, values, valid))
+    return out, carry
+
+
+@partial(
+    jax.jit,
+    static_argnames=("lm_min_cutoff", "lm_beta", "pose_min_cutoff", "pose_beta"),
+)
+def v4_smooth_chunk(
+    lm_carry,
+    pose_carry,
+    times: jax.Array,
+    lm_track: jax.Array,
+    lm_valid: jax.Array,
+    pose_track: jax.Array,
+    pose_valid: jax.Array,
+    lm_min_cutoff: float = 0.5,
+    lm_beta: float = 0.1,
+    pose_min_cutoff: float = 0.1,
+    pose_beta: float = 0.1,
+):
+    """Chunk-resumable V4 smoothing stage (one dispatch per chunk):
+    landmark OneEuro + EAR + pose OneEuro, with carried filter states."""
+    sm_lm, lm_carry = one_euro_scan_chunk(
+        lm_carry, times, lm_track, lm_valid,
+        min_cutoff=lm_min_cutoff, beta=lm_beta,
+    )
+    sm_pose, pose_carry = one_euro_scan_chunk(
+        pose_carry, times, pose_track, pose_valid,
+        min_cutoff=pose_min_cutoff, beta=pose_beta,
+    )
+
+    def ear_of(eye):  # [T, 6, D]
+        A = jnp.linalg.norm(eye[:, 1] - eye[:, 5], axis=-1)
+        B = jnp.linalg.norm(eye[:, 2] - eye[:, 4], axis=-1)
+        C = jnp.linalg.norm(eye[:, 0] - eye[:, 3], axis=-1)
+        return jnp.where(C > 0, (A + B) / (2.0 * C), 0.0)
+
+    ears = (ear_of(sm_lm[:, 36:42]) + ear_of(sm_lm[:, 42:48])) / 2.0
+    return sm_lm, ears, sm_pose, lm_carry, pose_carry
+
+
 @partial(
     jax.jit,
     static_argnames=("lm_min_cutoff", "lm_beta", "pose_min_cutoff", "pose_beta"),

@@ -230,6 +230,96 @@ class VideoReader:
         return frames, kept, meta
 
 
+class StreamingSampler:
+    """Chunked sequential frame sampling for long videos.
+
+    Yields ``(frames uint8 [<=chunk, H, W, 3], kept_ids)`` batches while the
+    underlying decoder makes ONE pass over the file (the native shim keeps
+    its decode position across calls; the cv2 fallback keeps the capture
+    open) — memory stays bounded by the chunk size regardless of duration.
+    """
+
+    def __init__(self, path: str, frame_ids: Sequence[int], chunk_size: int = 512,
+                 prefer_native: bool = True):
+        self.path = path
+        self.ids = sorted(set(int(i) for i in frame_ids))
+        self.chunk_size = max(1, chunk_size)
+        from fvd_tpu.providers import native_decode
+
+        self._native = native_decode if (prefer_native and native_decode.available()) else None
+
+    def __iter__(self):
+        if self._native is not None:
+            try:
+                with self._native.NativeVideo(self.path) as v:
+                    for start in range(0, len(self.ids), self.chunk_size):
+                        chunk_ids = self.ids[start : start + self.chunk_size]
+                        frames, kept = v.read_frames(chunk_ids)
+                        if len(kept) == 0:
+                            return
+                        yield frames, kept
+                return
+            except Exception:
+                pass  # fall through to cv2
+        yield from self._iter_cv2()
+
+    def _iter_cv2(self):
+        import cv2
+
+        cap = cv2.VideoCapture(self.path)
+        if not cap.isOpened():
+            return
+        try:
+            wanted = self.ids
+            next_i = 0
+            idx = 0
+            frames: List[np.ndarray] = []
+            kept: List[int] = []
+            while next_i < len(wanted):
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                if idx == wanted[next_i]:
+                    frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+                    kept.append(idx)
+                    next_i += 1
+                    if len(frames) >= self.chunk_size:
+                        yield np.stack(frames), kept
+                        frames, kept = [], []
+                idx += 1
+            if frames:
+                yield np.stack(frames), kept
+        finally:
+            cap.release()
+
+
+class IncrementalVideoWriter:
+    """Append-as-you-go mp4 writer (viz artifacts for chunked processing)."""
+
+    def __init__(self, path: str, fps: float):
+        self.path = path
+        self.fps = fps
+        self._writer = None
+
+    def append(self, frames_rgb: np.ndarray) -> None:
+        import cv2
+
+        if len(frames_rgb) == 0:
+            return
+        if self._writer is None:
+            h, w = frames_rgb.shape[1:3]
+            self._writer = cv2.VideoWriter(
+                self.path, cv2.VideoWriter_fourcc(*"mp4v"), self.fps, (w, h)
+            )
+        for f in frames_rgb:
+            self._writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.release()
+            self._writer = None
+
+
 def write_video(path: str, frames: np.ndarray, fps: float) -> None:
     """RGB uint8 [T, H, W, 3] -> mp4 (test fixtures + viz artifacts)."""
     import cv2

@@ -105,8 +105,16 @@ class SyntheticLandmarks:
             pts[base + 2] = [ex + 2, ey - 2]
             pts[base + 4] = [ex + 2, ey + 2]
             pts[base + 5] = [ex - 2, ey + 2]
-        gate = 0.5 * (1 + np.sin(2 * np.pi * self.gate_hz * (i / self.fps)))
-        aperture = 2 + 10 * gate
+        # aperture measured from the rendered mouth strip (content-based, so
+        # chunked streaming sees identical landmarks regardless of batch
+        # boundaries; the strip height encodes the gate)
+        mouth_mask = np.all(np.abs(frame.astype(int) - 60) < 10, axis=-1)
+        strip_rows = np.nonzero(mouth_mask.any(axis=1))[0]
+        if len(strip_rows) > 0:
+            aperture = 2 + (strip_rows.max() - strip_rows.min())
+        else:
+            gate = 0.5 * (1 + np.sin(2 * np.pi * self.gate_hz * (i / self.fps)))
+            aperture = 2 + 10 * gate
         mcx, mcy = cx, cy + 0.5 * half
         outer = np.linspace(0, 2 * np.pi, 12, endpoint=False)
         pts[48:60, 0] = mcx + 12 * np.cos(outer)

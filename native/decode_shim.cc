@@ -34,6 +34,8 @@ struct Handle {
   int audio_stream = -1;
   AVCodecContext* vctx = nullptr;
   AVCodecContext* actx = nullptr;
+  int64_t video_pos = 0;  // frames decoded so far (streaming chunked reads)
+  bool video_flushed = false;
 };
 
 AVCodecContext* open_codec(AVFormatContext* fmt, int stream_idx) {
@@ -127,24 +129,25 @@ int64_t fvd_read_frames(void* handle, const int64_t* frame_ids, int64_t n_ids,
 
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
-  int64_t decoded_idx = 0;  // running frame index in decode order
+  // streaming: continue from where the previous call stopped — ascending
+  // frame_ids across calls read the file in ONE pass total
   int64_t next_want = 0;    // cursor into frame_ids
   int64_t kept = 0;
 
   auto deliver = [&](AVFrame* f) {
-    while (next_want < n_ids && frame_ids[next_want] < decoded_idx) next_want++;
-    if (next_want < n_ids && frame_ids[next_want] == decoded_idx) {
+    while (next_want < n_ids && frame_ids[next_want] < h->video_pos) next_want++;
+    if (next_want < n_ids && frame_ids[next_want] == h->video_pos) {
       uint8_t* dst[1] = {out_rgb + kept * frame_bytes};
       int dst_stride[1] = {w * 3};
       sws_scale(sws, f->data, f->linesize, 0, hgt, dst, dst_stride);
-      kept_ids[kept++] = decoded_idx;
+      kept_ids[kept++] = h->video_pos;
       next_want++;
     }
-    decoded_idx++;
+    h->video_pos++;
   };
 
   bool done = false;
-  while (!done && av_read_frame(h->fmt, pkt) >= 0) {
+  while (!done && !h->video_flushed && av_read_frame(h->fmt, pkt) >= 0) {
     if (pkt->stream_index == h->video_stream) {
       if (avcodec_send_packet(h->vctx, pkt) >= 0) {
         while (avcodec_receive_frame(h->vctx, frame) >= 0) {
@@ -155,8 +158,9 @@ int64_t fvd_read_frames(void* handle, const int64_t* frame_ids, int64_t n_ids,
     }
     av_packet_unref(pkt);
   }
-  // flush decoder
-  if (!done) {
+  // flush decoder once the container is exhausted
+  if (!done && !h->video_flushed) {
+    h->video_flushed = true;
     avcodec_send_packet(h->vctx, nullptr);
     while (avcodec_receive_frame(h->vctx, frame) >= 0) {
       deliver(frame);
