@@ -34,58 +34,11 @@ def _save_jpeg(path: str, rgb: np.ndarray) -> None:
     cv2.imwrite(path, cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
 
 
-def run(
-    state: State,
-    config: Config = default_config(),
-    providers: Optional[Providers] = None,
-) -> StateDelta:
-    providers = providers or get_providers()
-    cfg = config.face_detect
-    output_dir = state.get("data_dir")
-    if not output_dir or not os.path.exists(output_dir):
-        print(f"V1: data directory not found at {output_dir}")
-        return {}
-
-    video_path = os.path.join(output_dir, "video.mp4")
-    reader = VideoReader()
-    meta = reader.probe(video_path)
-    if meta is None:
-        print(f"V1: cannot open video at {video_path}")
-        return {}
-
-    keyframes_dir = os.path.join(output_dir, "keyframes")
-    faces_dir = os.path.join(output_dir, "faces")
-    os.makedirs(keyframes_dir, exist_ok=True)
-    os.makedirs(faces_dir, exist_ok=True)
-
-    # 1 frame/sec grid: frame_id = int(t * fps), t = 0, 1, 2, ... (v1:90-183)
-    frame_ids: List[int] = []
-    t = 0.0
-    while True:
-        fid = int(t * meta.fps)
-        if fid >= meta.frame_count:
-            break
-        frame_ids.append(fid)
-        t += 1.0
-
-    frames, kept_ids = reader.sample(video_path, frame_ids)
-    if len(kept_ids) == 0:
-        print("V1: no frames decoded.")
-        return {}
-
-    # ONE batched detector forward over the whole keyframe tensor.
-    detector = providers.face_detector
-    if detector is not None:
-        detections_per_frame = detector.detect_batch(frames)
-        model_name = detector.model_name
-    else:
-        print("V1: no face detector configured; extracting keyframes only.")
-        detections_per_frame = [[] for _ in kept_ids]
-        model_name = "none"
-
-    frame_area = meta.width * meta.height
-    keyframes_paths: List[str] = []
-    face_detections: List[Dict[str, Any]] = []
+def _process_chunk(frames, kept_ids, detections_per_frame, meta, cfg,
+                   frame_area, keyframes_dir, faces_dir,
+                   keyframes_paths, face_detections) -> None:
+    """Per-frame filtering/cropping/artifacts (v1:110-180 semantics)."""
+    import os
 
     for frame, fid, dets in zip(frames, kept_ids, detections_per_frame):
         timestamp = fid / meta.fps
@@ -106,7 +59,8 @@ def run(
             if w <= 0 or h <= 0:
                 continue
             face_list.append(
-                {"x": x1, "y": y1, "w": w, "h": h, "area": w * h, "confidence": float(d.confidence)}
+                {"x": x1, "y": y1, "w": w, "h": h, "area": w * h,
+                 "confidence": float(d.confidence)}
             )
         face_list.sort(key=lambda f: f["area"], reverse=True)
 
@@ -142,6 +96,72 @@ def run(
                 "keyframe_path": keyframe_path,
             }
         )
+
+
+def run(
+    state: State,
+    config: Config = default_config(),
+    providers: Optional[Providers] = None,
+) -> StateDelta:
+    providers = providers or get_providers()
+    cfg = config.face_detect
+    output_dir = state.get("data_dir")
+    if not output_dir or not os.path.exists(output_dir):
+        print(f"V1: data directory not found at {output_dir}")
+        return {}
+
+    video_path = os.path.join(output_dir, "video.mp4")
+    reader = VideoReader()
+    meta = reader.probe(video_path)
+    if meta is None:
+        print(f"V1: cannot open video at {video_path}")
+        return {}
+
+    keyframes_dir = os.path.join(output_dir, "keyframes")
+    faces_dir = os.path.join(output_dir, "faces")
+    os.makedirs(keyframes_dir, exist_ok=True)
+    os.makedirs(faces_dir, exist_ok=True)
+
+    # 1 frame/sec grid: frame_id = int(t * fps), t = 0, 1, 2, ... (v1:90-183)
+    frame_ids: List[int] = []
+    t = 0.0
+    while True:
+        fid = int(t * meta.fps)
+        if fid >= meta.frame_count:
+            break
+        frame_ids.append(fid)
+        t += 1.0
+
+    detector = providers.face_detector
+    if detector is not None:
+        model_name = detector.model_name
+    else:
+        print("V1: no face detector configured; extracting keyframes only.")
+        model_name = "none"
+
+    frame_area = meta.width * meta.height
+    keyframes_paths: List[str] = []
+    face_detections: List[Dict[str, Any]] = []
+
+    # Stream keyframes in bounded chunks; one batched detector forward per
+    # chunk (the keyframe grid is coarse, but an hour of HD footage is still
+    # thousands of full-res frames — memory must not scale with duration).
+    from fvd_tpu.providers.media import StreamingSampler
+
+    chunk_size = config.landmarks.stream_chunk_frames
+    for frames, kept_ids in StreamingSampler(video_path, frame_ids,
+                                             chunk_size=chunk_size):
+        if detector is not None:
+            detections_per_frame = detector.detect_batch(frames)
+        else:
+            detections_per_frame = [[] for _ in kept_ids]
+        _process_chunk(frames, kept_ids, detections_per_frame, meta, cfg,
+                       frame_area, keyframes_dir, faces_dir,
+                       keyframes_paths, face_detections)
+
+    if not keyframes_paths:
+        print("V1: no frames decoded.")
+        return {}
 
     metadata = dict(state.get("metadata", {}) or {})
     metadata["video_fps"] = meta.fps

@@ -249,6 +249,14 @@ class StreamingSampler:
         self._native = native_decode if (prefer_native and native_decode.available()) else None
 
     def __iter__(self):
+        # Short videos (one chunk) go through the shared frame cache so
+        # concurrent nodes sampling the same grid decode the file once;
+        # genuinely long videos stream uncached with bounded memory.
+        if len(self.ids) <= self.chunk_size:
+            frames, kept = VideoReader().sample(self.path, self.ids)
+            if len(kept) > 0:
+                yield frames, kept
+            return
         if self._native is not None:
             try:
                 with self._native.NativeVideo(self.path) as v:
