@@ -54,6 +54,8 @@ def extract_claims(
     if not result:
         return []
     claims = result.get("claims", [])
+    if not isinstance(claims, list):
+        return []  # JSON mode can legally return a string here
     return [
         {"claim_text": txt, "text": txt, "source": "llm", "confidence": 0.95}
         for txt in claims

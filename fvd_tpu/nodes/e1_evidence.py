@@ -86,11 +86,14 @@ def rank_results(
     if not results:
         return []
     try:
-        query_emb = providers.text_encoder.encode(claim_text)
-        doc_embs = [
-            providers.text_encoder.encode(f"{r['title']} {r['snippet']}") for r in results
-        ]
-        for r, emb in zip(results, doc_embs):
+        texts = [claim_text] + [f"{r['title']} {r['snippet']}" for r in results]
+        encode_batch = getattr(providers.text_encoder, "encode_batch", None)
+        if encode_batch is not None:
+            embs = encode_batch(texts)  # ONE batched device forward
+        else:
+            embs = [providers.text_encoder.encode(t) for t in texts]
+        query_emb = embs[0]
+        for r, emb in zip(results, embs[1:]):
             r["relevance_score"] = cosine(query_emb, emb)
         results.sort(key=lambda x: x["relevance_score"], reverse=True)
     except Exception:

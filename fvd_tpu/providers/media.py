@@ -73,9 +73,13 @@ class _FrameCache:
         self._meta[path] = meta
 
     def lookup(self, path: str, ids: Sequence[int]):
-        store = self._frames.get(path, {})
-        missing = [i for i in ids if i not in store]
-        return store, missing
+        """Copy out cached frame refs for ``ids`` (under the global lock so a
+        concurrent eviction can't tear the view). Returns (found, missing)."""
+        with self._global:
+            store = self._frames.get(path, {})
+            found = {i: store[i] for i in ids if i in store}
+        missing = [i for i in ids if i not in found]
+        return found, missing
 
     def insert(self, path: str, frames: np.ndarray, ids: Sequence[int]) -> None:
         with self._global:
@@ -174,15 +178,17 @@ class VideoReader:
         if self._cache is None:
             return self._sample_uncached(path, wanted)
         with self._cache.lock_for(path):
-            store, missing = self._cache.lookup(path, wanted)
+            found, missing = self._cache.lookup(path, wanted)
             if missing:
                 frames, kept = self._sample_uncached(path, missing)
+                # serve decoded frames directly — a concurrent eviction of
+                # this path between insert and a re-lookup must not lose them
+                found.update(dict(zip(kept, frames)))
                 self._cache.insert(path, frames, kept)
-                store, _ = self._cache.lookup(path, wanted)
-            kept = [i for i in wanted if i in store]
+            kept = [i for i in wanted if i in found]
             if not kept:
                 return np.zeros((0, 0, 0, 3), np.uint8), []
-            return np.stack([store[i] for i in kept]), kept
+            return np.stack([found[i] for i in kept]), kept
 
     def _sample_uncached(self, path: str, frame_ids: Sequence[int]) -> Tuple[np.ndarray, List[int]]:
         if self._native is not None:

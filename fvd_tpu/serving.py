@@ -54,12 +54,16 @@ class MicroBatcher:
         self._queue: "queue.Queue[Optional[Tuple[Any, Future]]]" = queue.Queue()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._running = True
+        self._closed = False
         self.batches_run = 0
         self.items_served = 0
         self._thread.start()
 
     def submit(self, item: Any) -> Future:
         fut: Future = Future()
+        if self._closed:
+            fut.set_exception(RuntimeError("MicroBatcher is closed"))
+            return fut
         self._queue.put((item, fut))
         return fut
 
@@ -67,14 +71,27 @@ class MicroBatcher:
         return self.submit(item).result(timeout=timeout)
 
     def close(self):
+        self._closed = True
         self._running = False
         self._queue.put(None)
         self._thread.join(timeout=5)
+
+    def _drain_pending(self):
+        """Fail any requests still queued at shutdown instead of leaving
+        their futures to time out."""
+        while True:
+            try:
+                entry = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if entry is not None:
+                entry[1].set_exception(RuntimeError("MicroBatcher closed"))
 
     def _worker(self):
         while self._running:
             first = self._queue.get()
             if first is None:
+                self._drain_pending()
                 return
             batch = [first]
             deadline = self.max_wait_s
@@ -110,6 +127,7 @@ class MicroBatcher:
             except Exception as e:
                 for fut in futures:
                     fut.set_exception(e)
+        self._drain_pending()
 
 
 @dataclass

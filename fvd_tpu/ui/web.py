@@ -238,6 +238,10 @@ PAGE = """<!DOCTYPE html>
 <div id="error" style="color:#f66"></div>
 <div id="result"></div>
 <script>
+function esc(v) {
+  return String(v ?? '').replace(/&/g, '&amp;').replace(/</g, '&lt;')
+    .replace(/>/g, '&gt;').replace(/"/g, '&quot;').replace(/'/g, '&#39;');
+}
 let layout = null;
 async function loadGraph() {
   layout = await (await fetch('/graph')).json();
@@ -282,24 +286,24 @@ async function poll() {
 function render(r) {
   let h = `<div class="card"><span class="${r.verdict === 'FAKE' ? 'fake' : 'real'}">${r.verdict}</span>
     &nbsp; fake_probability = ${(r.fake_probability ?? 0).toFixed(4)}
-    <div>duration ${r.metadata.duration ?? '?'}s · fps ${r.metadata.fps ?? '?'} ·
+    <div>duration ${esc(r.metadata.duration ?? '?')}s · fps ${esc(r.metadata.fps ?? '?')} ·
      keyframes ${r.keyframes} · faces ${r.faces}</div></div>`;
   if (r.features) {
     h += '<div class="card"><h3>Features</h3><table>';
     for (const [k, v] of Object.entries(r.features))
-      h += `<tr><td>${k}</td><td>${v.toFixed(4)}</td>
+      h += `<tr><td>${esc(k)}</td><td>${v.toFixed(4)}</td>
             <td><span class="bar" style="width:${Math.min(100, v*100)}px"></span></td></tr>`;
     h += '</table></div>';
   }
   if (r.claims && r.claims.length) {
     h += '<div class="card"><h3>Claims &amp; Evidence</h3><table><tr><th>claim</th><th>verdict</th><th>score</th><th>sources</th></tr>';
     for (const c of r.claims)
-      h += `<tr><td>${c.text}</td><td>${c.verdict}</td><td>${c.score}</td><td>${c.evidence_count}</td></tr>`;
+      h += `<tr><td>${esc(c.text)}</td><td>${esc(c.verdict)}</td><td>${esc(c.score)}</td><td>${esc(c.evidence_count)}</td></tr>`;
     h += '</table></div>';
   }
-  if (r.transcript) h += `<div class="card"><h3>Transcript</h3><p>${r.transcript}</p></div>`;
+  if (r.transcript) h += `<div class="card"><h3>Transcript</h3><p>${esc(r.transcript)}</p></div>`;
   if (r.ocr_text && r.ocr_text.length)
-    h += `<div class="card"><h3>On-screen text</h3><p>${r.ocr_text.join(' · ')}</p></div>`;
+    h += `<div class="card"><h3>On-screen text</h3><p>${esc(r.ocr_text.join(' · '))}</p></div>`;
   if (r.signals && Object.keys(r.signals).length) {
     h += '<div class="card"><h3>Signals</h3>';
     for (const [name, vals] of Object.entries(r.signals)) h += sparkline(name, vals);
@@ -324,8 +328,8 @@ function render(r) {
   }
   if (r.raw_state)
     h += `<div class="card"><details><summary>Raw state</summary>
-      <pre style="max-height:400px;overflow:auto">${JSON.stringify(r.raw_state, null, 1)}</pre></details></div>`;
-  h += `<div class="card">artifacts: <code>${r.data_dir ?? ''}</code></div>`;
+      <pre style="max-height:400px;overflow:auto">${esc(JSON.stringify(r.raw_state, null, 1))}</pre></details></div>`;
+  h += `<div class="card">artifacts: <code>${esc(r.data_dir)}</code></div>`;
   document.getElementById('result').innerHTML = h;
 }
 function sparkline(name, vals) {
@@ -335,7 +339,7 @@ function sparkline(name, vals) {
   const pts = vals.map((v, i) =>
     `${(i / (vals.length - 1 || 1) * w).toFixed(1)},${(hh - 4 - (v - mn) / span * (hh - 8)).toFixed(1)}`
   ).join(' ');
-  return `<div><small>${name} [${mn.toFixed(2)} … ${mx.toFixed(2)}]</small><br>
+  return `<div><small>${esc(name)} [${mn.toFixed(2)} … ${mx.toFixed(2)}]</small><br>
     <svg width="${w}" height="${hh}"><polyline points="${pts}"
     fill="none" stroke="#39f" stroke-width="1.5"/></svg></div>`;
 }

@@ -117,3 +117,20 @@ def test_cache_probe_memoized(video, monkeypatch):
     m2 = reader.probe(video)
     assert len(calls) == 1
     assert m1 is m2
+
+
+def test_sample_survives_concurrent_eviction(video, monkeypatch):
+    """Decoded frames must be served even if another path's insert evicts
+    this path between insert and return."""
+    reader = media.VideoReader()
+    orig_insert = media._frame_cache.insert
+
+    def evicting_insert(path, frames, ids):
+        orig_insert(path, frames, ids)
+        # simulate a concurrent eviction of everything
+        media._frame_cache._frames.pop(path, None)
+
+    monkeypatch.setattr(media._frame_cache, "insert", evicting_insert)
+    frames, kept = reader.sample(video, [0, 5, 10])
+    assert kept == [0, 5, 10]
+    assert frames.shape[0] == 3

@@ -117,3 +117,26 @@ def test_scoring_service_throughput_under_concurrency():
         assert svc.batcher.batches_run < 12  # batching actually happened
     finally:
         svc.close()
+
+
+def test_microbatcher_close_fails_pending_cleanly():
+    import queue as _q
+
+    started = threading.Event()
+
+    def slow_batch(items):
+        started.set()
+        time.sleep(0.2)
+        return items
+
+    mb = MicroBatcher(slow_batch, max_batch=1, max_wait_ms=1.0)
+    f1 = mb.submit("a")
+    started.wait(timeout=5)
+    f2 = mb.submit("b")  # queued behind the in-flight batch
+    mb.close()
+    assert f1.result(timeout=5) == "a"
+    with pytest.raises(RuntimeError):
+        f2.result(timeout=5)
+    # submit after close fails immediately
+    with pytest.raises(RuntimeError):
+        mb.submit("c").result(timeout=1)
