@@ -340,3 +340,40 @@ def test_jax_ocr_provider_api():
     for det in out:
         assert set(det) == {"text", "confidence", "bbox"}
         assert len(det["bbox"]) == 4
+
+
+def test_ssd_bf16_matches_f32_decisions():
+    """bf16 backbone must produce near-identical detections to f32."""
+    params = face_ssd.init_params(jax.random.PRNGKey(0), width=8)
+    frames = jnp.asarray(
+        np.random.RandomState(0).randint(0, 255, (1, 120, 160, 3)).astype(np.uint8)
+    )
+    b16, s16 = face_ssd.detect_batch_jit(params, frames, width=8, max_out=8,
+                                         compute_dtype=jnp.bfloat16)
+    b32, s32 = face_ssd.detect_batch_jit(params, frames, width=8, max_out=8,
+                                         compute_dtype=jnp.float32)
+    # random-init logits hover near 0.5; scores agree within bf16 tolerance
+    np.testing.assert_allclose(np.sort(np.asarray(s16).ravel()),
+                               np.sort(np.asarray(s32).ravel()), atol=0.05)
+
+
+def test_landmarks_bf16_close_to_f32():
+    """bf16 vs f32 on TRAINED weights (random-init heatmaps are near-flat,
+    where soft-argmax amplifies rounding noise — not the deployed regime)."""
+    import os
+
+    ckpt = os.path.join(os.path.dirname(__file__), "..", "checkpoints", "landmarks.npz")
+    if not os.path.exists(ckpt):
+        pytest.skip("trained landmark checkpoint not present")
+    template = landmarks_fan.init_landmark_params(jax.random.PRNGKey(0), width=32)
+    params = landmarks_fan.load_params(ckpt, template)
+
+    from fvd_tpu.models.synthetic_faces import landmark_batch
+
+    crops, _ = landmark_batch(np.random.RandomState(0), 4)
+    crops_u8 = jnp.asarray((crops * 255).astype(np.uint8))
+    c16 = np.asarray(landmarks_fan.landmarks_forward(params, crops_u8, width=32,
+                                                     compute_dtype=jnp.bfloat16))
+    c32 = np.asarray(landmarks_fan.landmarks_forward(params, crops_u8, width=32,
+                                                     compute_dtype=jnp.float32))
+    np.testing.assert_allclose(c16, c32, atol=0.02)  # coords in [0,1]
