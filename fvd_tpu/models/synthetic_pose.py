@@ -1,0 +1,73 @@
+"""Procedural head-pose dataset: frontal procedural faces perspective-warped
+by known rotations.
+
+The crop plane is lifted into 3D, rotated by R = Rz(roll)·Ry(yaw)·Rx(pitch)
+(the decomposition inverted by
+fvd_tpu.models.landmarks_fan.euler_from_matrix_deg), and re-projected with a
+weak-perspective camera — giving (image, R) pairs to train the 6D pose head
+without external data.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from fvd_tpu.models.landmarks_fan import CROP_SIZE
+from fvd_tpu.models.synthetic_faces import render_face
+
+
+def euler_to_matrix(pitch_deg: float, yaw_deg: float, roll_deg: float) -> np.ndarray:
+    """R = Rz(roll) @ Ry(yaw) @ Rx(pitch) — the inverse of
+    euler_from_matrix_deg's extraction (verified in tests)."""
+    p, y, r = np.deg2rad([pitch_deg, yaw_deg, roll_deg])
+    Rx = np.array([[1, 0, 0], [0, np.cos(p), -np.sin(p)], [0, np.sin(p), np.cos(p)]])
+    Ry = np.array([[np.cos(y), 0, np.sin(y)], [0, 1, 0], [-np.sin(y), 0, np.cos(y)]])
+    Rz = np.array([[np.cos(r), -np.sin(r), 0], [np.sin(r), np.cos(r), 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+def warp_by_rotation(img: np.ndarray, R: np.ndarray, depth: float = 2.0) -> np.ndarray:
+    """Rotate the image plane in 3D and re-project (weak perspective)."""
+    import cv2
+
+    h, w = img.shape[:2]
+    half = np.array([w / 2, h / 2])
+    corners = np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], np.float64)
+    src = (corners * half + half).astype(np.float32)
+
+    pts3 = np.concatenate([corners, np.zeros((4, 1))], axis=1)  # unit plane, z=0
+    rot = pts3 @ R.T
+    z = rot[:, 2] + depth
+    proj = rot[:, :2] * (depth / z[:, None])
+    dst = (proj * half + half).astype(np.float32)
+
+    M = cv2.getPerspectiveTransform(src, dst)
+    return cv2.warpPerspective(img, M, (w, h), borderMode=cv2.BORDER_REPLICATE)
+
+
+def pose_batch(
+    rng: np.random.RandomState, batch: int, max_angle: float = 40.0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (crops float [B, 128, 128, 3] 0..1, R [B, 3, 3], euler_deg [B, 3])."""
+    import cv2
+
+    crops = np.zeros((batch, CROP_SIZE, CROP_SIZE, 3), np.float32)
+    Rs = np.zeros((batch, 3, 3), np.float64)
+    eulers = np.zeros((batch, 3), np.float64)
+    for i in range(batch):
+        img, box, _ = render_face(rng, 192)
+        x1, y1, x2, y2 = (box * 192).astype(int)
+        face = img[max(0, y1) : y2, max(0, x1) : x2]
+        if face.size == 0:
+            face = img
+        face = cv2.resize(face, (CROP_SIZE, CROP_SIZE))
+        pitch = rng.uniform(-max_angle, max_angle)
+        yaw = rng.uniform(-max_angle, max_angle)
+        roll = rng.uniform(-max_angle, max_angle)
+        R = euler_to_matrix(pitch, yaw, roll)
+        crops[i] = warp_by_rotation(face, R).astype(np.float32) / 255.0
+        Rs[i] = R
+        eulers[i] = (pitch, yaw, roll)
+    return crops, Rs, eulers

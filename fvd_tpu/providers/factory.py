@@ -22,6 +22,21 @@ from fvd_tpu.providers.llm import NullLLM, OpenAILLM
 from fvd_tpu.providers.search import default_chain
 
 
+def _build_ocr(det_ckpt: str, rec_ckpt: str):
+    import jax
+
+    from fvd_tpu.models import encoders, ocr
+
+    det_params = rec_params = None
+    if os.path.exists(det_ckpt):
+        template = ocr.init_detector(jax.random.PRNGKey(1), width=16)
+        det_params = encoders.load_params(det_ckpt, template)
+    if os.path.exists(rec_ckpt):
+        template = ocr.init_recognizer(jax.random.PRNGKey(0), width=32)
+        rec_params = encoders.load_params(rec_ckpt, template)
+    return ocr.JaxOCR(det_params=det_params, rec_params=rec_params)
+
+
 def production_providers(
     checkpoint_dir: str = "checkpoints",
     use_llm: bool = True,
@@ -35,6 +50,8 @@ def production_providers(
     lmk_ckpt = os.path.join(checkpoint_dir, "landmarks.npz")
     clip_ckpt = os.path.join(checkpoint_dir, "clip.npz")
     text_ckpt = os.path.join(checkpoint_dir, "text_encoder.npz")
+    ocr_rec_ckpt = os.path.join(checkpoint_dir, "ocr_rec.npz")
+    ocr_det_ckpt = os.path.join(checkpoint_dir, "ocr_det.npz")
 
     detector = face_ssd.SSDFaceDetector(
         checkpoint=ssd_ckpt if os.path.exists(ssd_ckpt) else None
@@ -46,8 +63,14 @@ def production_providers(
         lmk_width = 32
     else:
         lmk_width = 64
+    pose_ckpt = os.path.join(checkpoint_dir, "pose.npz")
+    pose_params = None
+    if os.path.exists(pose_ckpt):
+        template = landmarks_fan.init_pose_params(jax.random.PRNGKey(2), width=32)
+        pose_params = landmarks_fan.load_params(pose_ckpt, template)
     landmarks = landmarks_fan.FANLandmarks(
-        detector, landmark_params=lmk_params, width=lmk_width
+        detector, landmark_params=lmk_params, pose_params=pose_params,
+        width=lmk_width,
     )
 
     llm = OpenAILLM() if use_llm else NullLLM()
@@ -86,7 +109,7 @@ def production_providers(
             checkpoint=clip_ckpt if os.path.exists(clip_ckpt) else None
         ),
         asr=asr or EnergyVAD(),
-        ocr=ocr.JaxOCR(),
+        ocr=_build_ocr(ocr_det_ckpt, ocr_rec_ckpt),
         face_detector=detector,
         landmarks=landmarks,
     )

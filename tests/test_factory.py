@@ -43,3 +43,27 @@ def test_production_pipeline_end_to_end(tmp_cwd):
         "speech_rate", "pause_ratio", "lip_sync", "gesture_score", "blink_rate",
         "headpose_jerk", "texture", "claim_reliability", "evidence_reliability",
     }
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(CHECKPOINT_DIR, "ocr_rec.npz")),
+    reason="trained OCR checkpoints not present",
+)
+def test_trained_ocr_reads_rendered_text():
+    import cv2
+    import numpy as np
+
+    from fvd_tpu.providers.factory import _build_ocr
+
+    ocr = _build_ocr(
+        os.path.join(CHECKPOINT_DIR, "ocr_det.npz"),
+        os.path.join(CHECKPOINT_DIR, "ocr_rec.npz"),
+    )
+    img = (np.random.RandomState(0).rand(256, 256, 3) * 80).astype(np.uint8)
+    img = cv2.blur(img, (5, 5))
+    cv2.putText(img, "MOON LANDING 1969", (20, 100),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.7, (230, 230, 230), 2)
+    out = ocr.read_text(img)
+    assert out, "trained OCR found no text regions"
+    texts = [d["text"] for d in out]
+    assert any("MOON" in t and "1969" in t for t in texts), texts

@@ -1,0 +1,141 @@
+"""Pretrain the OCR stack (region detector + CTC recognizer) on rendered
+text.  Writes ``checkpoints/ocr_det.npz`` + ``checkpoints/ocr_rec.npz``;
+``providers/factory.py`` loads them automatically.
+
+    python tools/pretrain_ocr.py --steps 1500 --batch 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def train_recognizer(steps: int, batch: int, width: int, out: str, seed: int = 0):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fvd_tpu.models import ocr
+    from fvd_tpu.models.synthetic_text import recognizer_batch
+
+    rng = np.random.RandomState(seed)
+    model = ocr.CTCRecognizer(width=width)
+    params = ocr.init_recognizer(jax.random.PRNGKey(seed), width=width)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, lines, labels):
+        loss, grads = jax.value_and_grad(ocr.ctc_loss)(params, model, lines, labels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        lines, labels, _ = recognizer_batch(rng, batch)
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(lines),
+                                       jnp.asarray(labels))
+        if i % 100 == 0 or i == steps - 1:
+            print(f"[rec] step {i:4d} loss {float(loss):.3f} "
+                  f"({time.perf_counter() - t0:.1f}s)", flush=True)
+
+    # eval: exact + character accuracy on fresh lines
+    lines, _, texts = recognizer_batch(rng, 32)
+    logits = np.asarray(ocr.recognize_forward(params, jnp.asarray(lines), width=width))
+    decoded = ocr.ctc_greedy_decode(logits)
+    exact = sum(d == t for d, t in zip(decoded, texts)) / len(texts)
+    char_ok = char_total = 0
+    for d, t in zip(decoded, texts):
+        char_total += len(t)
+        char_ok += sum(a == b for a, b in zip(d, t))
+    print(f"[rec] eval: exact={exact:.2f} char_acc={char_ok / max(char_total,1):.2f} "
+          f"sample: {texts[0]!r} -> {decoded[0]!r}")
+
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    from fvd_tpu.models.encoders import save_params
+
+    save_params(out, params)
+    print(f"[rec] saved {out}")
+    return exact
+
+
+def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 1):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fvd_tpu.models import ocr
+    from fvd_tpu.models.synthetic_text import detector_batch
+
+    rng = np.random.RandomState(seed)
+    model = ocr.TextRegionNet(width=width)
+    params = ocr.init_detector(jax.random.PRNGKey(seed), width=width)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, imgs, masks):
+        logits = model.apply(params, imgs)
+        bce = jnp.maximum(logits, 0) - logits * masks + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        return jnp.mean(bce)
+
+    @jax.jit
+    def step(params, opt_state, imgs, masks):
+        loss, grads = jax.value_and_grad(loss_fn)(params, imgs, masks)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        imgs, masks = detector_batch(rng, batch)
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(imgs),
+                                       jnp.asarray(masks))
+        if i % 100 == 0 or i == steps - 1:
+            print(f"[det] step {i:4d} loss {float(loss):.4f} "
+                  f"({time.perf_counter() - t0:.1f}s)", flush=True)
+
+    # eval: mask IoU on fresh samples
+    imgs, masks = detector_batch(rng, 16)
+    probs = np.asarray(ocr.detect_forward(params, jnp.asarray(imgs), width=width))
+    pred = probs > 0.5
+    gt = masks > 0.5
+    iou = (pred & gt).sum() / max((pred | gt).sum(), 1)
+    print(f"[det] eval mask IoU: {iou:.3f}")
+
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    from fvd_tpu.models.encoders import save_params
+
+    save_params(out, params)
+    print(f"[det] saved {out}")
+    return iou
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--rec-width", type=int, default=32)
+    ap.add_argument("--det-width", type=int, default=16)
+    ap.add_argument("--out-dir", default="checkpoints")
+    ap.add_argument("--only", choices=["rec", "det"], default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    print(f"backend: {jax.default_backend()}")
+    if args.only in (None, "rec"):
+        train_recognizer(args.steps, args.batch, args.rec_width,
+                         os.path.join(args.out_dir, "ocr_rec.npz"))
+    if args.only in (None, "det"):
+        train_detector(max(200, args.steps // 3), args.batch, args.det_width,
+                       os.path.join(args.out_dir, "ocr_det.npz"))
+
+
+if __name__ == "__main__":
+    main()

@@ -123,6 +123,47 @@ def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1)
     return err
 
 
+def train_pose(steps: int, batch: int, width: int, out: str, seed: int = 2):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fvd_tpu.models import landmarks_fan
+    from fvd_tpu.models.synthetic_pose import pose_batch
+
+    rng = np.random.RandomState(seed)
+    params = landmarks_fan.init_pose_params(jax.random.PRNGKey(seed), width=width)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, crops, target_R):
+        loss, grads = jax.value_and_grad(landmarks_fan.pose_loss)(
+            params, crops, target_R, width=width)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        crops, Rs, _ = pose_batch(rng, batch)
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(crops),
+                                       jnp.asarray(Rs))
+        if i % 100 == 0 or i == steps - 1:
+            print(f"[pose] step {i:4d} loss {float(loss):.4f} "
+                  f"({time.perf_counter() - t0:.1f}s)", flush=True)
+
+    crops, _, eulers = pose_batch(rng, 32)
+    pred = np.asarray(landmarks_fan.pose_forward(
+        params, jnp.asarray((crops * 255).astype(np.uint8)), width=width))
+    err = np.abs(pred - eulers).mean(axis=0)
+    print(f"[pose] eval mean abs err (pitch/yaw/roll deg): {err.round(2)}")
+
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    landmarks_fan.save_params(out, params)
+    print(f"[pose] saved {out}")
+    return err
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
@@ -130,7 +171,7 @@ def main():
     ap.add_argument("--det-width", type=int, default=32)
     ap.add_argument("--lmk-width", type=int, default=32)
     ap.add_argument("--out-dir", default="checkpoints")
-    ap.add_argument("--only", choices=["det", "lmk"], default=None)
+    ap.add_argument("--only", choices=["det", "lmk", "pose"], default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--lr", type=float, default=1e-3)
     args = ap.parse_args()
@@ -145,6 +186,9 @@ def main():
     if args.only in (None, "lmk"):
         train_landmarks(args.steps, args.batch, args.lmk_width,
                         os.path.join(args.out_dir, "landmarks.npz"))
+    if args.only in (None, "pose"):
+        train_pose(args.steps, args.batch, 32,
+                   os.path.join(args.out_dir, "pose.npz"))
 
 
 if __name__ == "__main__":
