@@ -72,6 +72,11 @@ def run(
     if not keyframes:
         print("C2: no keyframes found; skipping gesture check.")
         return {}
+    if providers.clip is None:
+        # reference behavior when the CLIP model fails to load (c2:56-58):
+        # the node bails and leaves state unchanged
+        print("C2: no CLIP model available; skipping gesture check.")
+        return {}
 
     fps = (state.get("metadata", {}) or {}).get("video_fps", 30.0)
     gesture_checks: List[Dict[str, Any]] = []

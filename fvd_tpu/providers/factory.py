@@ -99,15 +99,26 @@ def production_providers(
         clip = _try("clip", hf_models.HFClip.from_local)
         asr = _try("whisper", hf_models.HFWhisperASR.from_local)
 
+    # Without trained weights, a random-init transformer embedding is worse
+    # than the deterministic lexical hashing encoder for evidence ranking,
+    # and a random CLIP produces meaningless consistency scores — C2 skips
+    # entirely (the reference's model-load-failure behavior) rather than
+    # emit noise.
+    if text_encoder is None:
+        if os.path.exists(text_ckpt):
+            text_encoder = encoders.JaxTextEncoder(checkpoint=text_ckpt)
+        else:
+            from fvd_tpu.providers.encoders import HashingTextEncoder
+
+            text_encoder = HashingTextEncoder()
+    if clip is None and os.path.exists(clip_ckpt):
+        clip = encoders.JaxClip(checkpoint=clip_ckpt)
+
     return Providers(
         llm=llm,
         search=default_chain() if use_search else Providers().search,
-        text_encoder=text_encoder or encoders.JaxTextEncoder(
-            checkpoint=text_ckpt if os.path.exists(text_ckpt) else None
-        ),
-        clip=clip or encoders.JaxClip(
-            checkpoint=clip_ckpt if os.path.exists(clip_ckpt) else None
-        ),
+        text_encoder=text_encoder,
+        clip=clip,
         asr=asr or EnergyVAD(),
         ocr=_build_ocr(ocr_det_ckpt, ocr_rec_ckpt),
         face_detector=detector,

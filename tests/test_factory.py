@@ -67,3 +67,21 @@ def test_trained_ocr_reads_rendered_text():
     assert out, "trained OCR found no text regions"
     texts = [d["text"] for d in out]
     assert any("MOON" in t and "1969" in t for t in texts), texts
+
+
+def test_factory_without_clip_checkpoint_disables_c2(tmp_path):
+    from fvd_tpu.nodes import c2_gesture
+    from fvd_tpu.providers.encoders import HashingTextEncoder
+
+    prov = production_providers(checkpoint_dir=str(tmp_path / "none"),
+                                use_llm=False, use_search=False)
+    # no trained CLIP -> C2 skips (reference model-load-failure behavior)
+    assert prov.clip is None
+    delta = c2_gesture.run(
+        State(keyframes=["x.jpg"], segments=[{"start": 0, "end": 1, "text": "t"}],
+              metadata={"video_fps": 30.0}),
+        providers=prov,
+    )
+    assert delta == {}
+    # evidence ranking uses the lexical hashing encoder, not random weights
+    assert isinstance(prov.text_encoder, HashingTextEncoder)
