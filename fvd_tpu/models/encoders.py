@@ -164,12 +164,20 @@ def _clip_similarity(params, images, ids, dim=192, depth=6, out_dim=256):
 
 
 class JaxClip:
-    """ClipProvider protocol over the dual towers (CLIP ViT-B/32 role)."""
+    """ClipProvider protocol over the dual towers (CLIP ViT-B/32 role).
+
+    ``cal_offset``/``cal_scale`` linearly map this model's cosine range onto
+    the reference CLIP's (whose 0.25/0.15 thresholds C2 inherits): computed
+    at train time as (mean mismatched cosine, 0.35 / (matched - mismatched))
+    and stored in the checkpoint sidecar.
+    """
 
     def __init__(self, params=None, dim: int = 192, depth: int = 6, out_dim: int = 256,
-                 checkpoint: Optional[str] = None):
+                 checkpoint: Optional[str] = None,
+                 cal_offset: float = 0.0, cal_scale: float = 1.0):
         self.tok = ByteTokenizer()
         self.dim, self.depth, self.out_dim = dim, depth, out_dim
+        self.cal_offset, self.cal_scale = cal_offset, cal_scale
         if params is None:
             model = ClipModel(dim=dim, depth=depth, out_dim=out_dim)
             template = model.init(
@@ -189,4 +197,4 @@ class JaxClip:
             self.params, jnp.asarray(img[None]), jnp.asarray(ids[None]),
             dim=self.dim, depth=self.depth, out_dim=self.out_dim,
         )
-        return float(sim[0])
+        return (float(sim[0]) - self.cal_offset) * self.cal_scale

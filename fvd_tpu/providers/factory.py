@@ -112,7 +112,14 @@ def production_providers(
 
             text_encoder = HashingTextEncoder()
     if clip is None and os.path.exists(clip_ckpt):
-        clip = encoders.JaxClip(checkpoint=clip_ckpt)
+        import json
+
+        meta_path = clip_ckpt.replace(".npz", ".json")
+        kwargs = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                kwargs = json.load(f)
+        clip = encoders.JaxClip(checkpoint=clip_ckpt, **kwargs)
 
     return Providers(
         llm=llm,
