@@ -217,6 +217,9 @@ def main(argv=None) -> int:
                              "(ignored with --train: online SGD is sequential)")
     args = parser.parse_args(argv)
 
+    from fvd_tpu.providers.factory import bootstrap_production
+
+    bootstrap_production()
     config = default_config()
 
     if args.clear_cache:

@@ -31,6 +31,14 @@ def main(argv=None) -> int:
     parser.add_argument("--port", type=int, default=8861, help="web UI port")
     args = parser.parse_args(argv)
 
+    # Entry points run the best-available models (trained checkpoints, HF
+    # drop-ins, credentialed backends) — the reference CLI's behavior
+    # (main.py:345-411 loads every real model). Unit tests bypass this by
+    # injecting providers into build_graph directly.
+    from fvd_tpu.providers.factory import bootstrap_production
+
+    bootstrap_production()
+
     if args.frontend_term:
         from fvd_tpu.ui.app import serve
 

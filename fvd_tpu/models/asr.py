@@ -150,11 +150,37 @@ class JaxASR:
 
     model_name = "fvd_tpu_asr"
 
-    def __init__(self, params=None, dim: int = 192, depth: int = 4):
+    def __init__(self, params=None, dim: int = 192, depth: int = 4,
+                 chunk_frames: int = MAX_AUDIO_FRAMES, max_tokens: int = MAX_TOKENS):
         self.dim, self.depth = dim, depth
+        self.chunk_frames = chunk_frames
+        self.max_tokens = max_tokens
         self.params = params if params is not None else init_params(
             jax.random.PRNGKey(0), dim, depth)
         self.tok = ByteTokenizer()
+
+    @classmethod
+    def from_checkpoint(cls, path: str) -> "JaxASR":
+        """Load a tools/pretrain_asr.py checkpoint (npz + sibling json meta)."""
+        import json
+        import os
+
+        from fvd_tpu.models.encoders import load_params
+
+        meta = {}
+        meta_path = path.replace(".npz", ".json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        dim = int(meta.get("dim", 192))
+        depth = int(meta.get("depth", 4))
+        template = init_params(jax.random.PRNGKey(0), dim, depth)
+        params = load_params(path, template)
+        return cls(
+            params=params, dim=dim, depth=depth,
+            chunk_frames=int(meta.get("chunk_frames", MAX_AUDIO_FRAMES)),
+            max_tokens=int(meta.get("max_tokens", MAX_TOKENS)),
+        )
 
     def transcribe(self, audio_path: str) -> Optional[Dict[str, Any]]:
         from fvd_tpu.utils.wav import read_wav, to_mono
@@ -165,13 +191,14 @@ class JaxASR:
             return None
         y = jnp.asarray(to_mono(samples), jnp.float32)
         mel = log_mel(y, sr)
-        chunk = MAX_AUDIO_FRAMES
+        chunk = self.chunk_frames
         t = mel.shape[0]
         n_chunks = max(1, -(-t // chunk))
         pad = n_chunks * chunk - t
         mel = jnp.pad(mel, ((0, pad), (0, 0)))
         mel_chunks = mel.reshape(n_chunks, chunk, N_MELS)
-        tokens = greedy_decode(self.params, mel_chunks, dim=self.dim, depth=self.depth)
+        tokens = greedy_decode(self.params, mel_chunks, dim=self.dim,
+                               depth=self.depth, max_tokens=self.max_tokens)
         segments = []
         texts = []
         sec_per_frame = HOP / sr

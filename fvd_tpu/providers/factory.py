@@ -37,6 +37,31 @@ def _build_ocr(det_ckpt: str, rec_ckpt: str):
     return ocr.JaxOCR(det_params=det_params, rec_params=rec_params)
 
 
+def default_checkpoint_dir() -> str:
+    """Checkpoint search order: $FVD_CHECKPOINT_DIR, ./checkpoints, then the
+    repo-root checkpoints/ next to the package (the CLI can run from any cwd).
+    """
+    env = os.environ.get("FVD_CHECKPOINT_DIR")
+    if env:
+        return env
+    if os.path.isdir("checkpoints"):
+        return "checkpoints"
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "checkpoints")
+
+
+def bootstrap_production(use_llm: bool = True, use_search: bool = True) -> Providers:
+    """Install the production bundle as the process default (entry points call
+    this; unit tests keep the inert default bundle and inject their own).
+    """
+    from fvd_tpu.providers import set_providers
+
+    return set_providers(
+        production_providers(default_checkpoint_dir(), use_llm=use_llm,
+                             use_search=use_search)
+    )
+
+
 def production_providers(
     checkpoint_dir: str = "checkpoints",
     use_llm: bool = True,
@@ -120,6 +145,11 @@ def production_providers(
             with open(meta_path) as f:
                 kwargs = json.load(f)
         clip = encoders.JaxClip(checkpoint=clip_ckpt, **kwargs)
+    asr_ckpt = os.path.join(checkpoint_dir, "asr.npz")
+    if asr is None and os.path.exists(asr_ckpt):
+        from fvd_tpu.models.asr import JaxASR
+
+        asr = JaxASR.from_checkpoint(asr_ckpt)
 
     return Providers(
         llm=llm,

@@ -52,6 +52,32 @@ def make_synthetic_video(
     return video_path
 
 
+TONE_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+TONE_SR = 16000
+TONE_CHAR_S = 0.08
+TONE_BASE_HZ = 300.0
+TONE_STEP_HZ = 60.0
+
+
+def tone_speech(text: str, rng: np.random.RandomState | None = None) -> np.ndarray:
+    """Tone-coded 'speech': each character is a Hann-windowed sine on a
+    frequency ladder. The training domain for the JAX ASR stack
+    (tools/pretrain_asr.py) and the hermetic transcription fixture —
+    the role Whisper audio plays in the reference (a2_vad_asr.py:27-30).
+    """
+    n = int(TONE_SR * TONE_CHAR_S)
+    t = np.arange(n) / TONE_SR
+    chunks = []
+    for ch in text:
+        k = TONE_ALPHABET.index(ch)
+        f = TONE_BASE_HZ + k * TONE_STEP_HZ
+        chunks.append(0.4 * np.sin(2 * np.pi * f * t) * np.hanning(n))
+    audio = np.concatenate(chunks) if chunks else np.zeros(n)
+    if rng is not None:
+        audio = audio + 0.01 * rng.randn(len(audio))
+    return audio.astype(np.float32)
+
+
 class SyntheticFaceDetector:
     """Finds the bright square — a deterministic FaceDetectorProvider."""
 

@@ -1,0 +1,58 @@
+"""ASR stack tests.
+
+The reference's A2 runs Whisper base (a2_vad_asr.py:27-30) and its unit
+tests mock the model (tests/test_a2_vad_asr.py:24-56).  Here the compiled
+encoder-decoder is real: a hermetic shape/contract test on a tiny random
+model, plus a checkpoint test that proves the trained stack transcribes
+tone-coded speech end-to-end (wav file -> log-mel -> while_loop greedy
+decode -> text).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+CKPT = os.path.join(os.path.dirname(__file__), "..", "checkpoints", "asr.npz")
+
+
+def _write_tone_wav(tmp_path, text, name="utt.wav"):
+    from fvd_tpu.synthetic import TONE_SR, tone_speech
+    from fvd_tpu.utils.wav import write_wav
+
+    path = str(tmp_path / name)
+    write_wav(path, tone_speech(text, np.random.RandomState(0)), TONE_SR)
+    return path
+
+
+def test_jax_asr_contract(tmp_path):
+    """Random-init model still returns the Whisper result shape."""
+    from fvd_tpu.models.asr import JaxASR
+
+    asr = JaxASR(dim=32, depth=1, chunk_frames=64, max_tokens=8)
+    path = _write_tone_wav(tmp_path, "abc")
+    result = asr.transcribe(path)
+    assert result is not None
+    assert set(result) == {"text", "segments"}
+    for seg in result["segments"]:
+        assert set(seg) == {"start", "end", "text"}
+        assert seg["end"] > seg["start"]
+
+
+@pytest.mark.skipif(not os.path.exists(CKPT), reason="no trained ASR checkpoint")
+def test_trained_asr_reads_tone_speech(tmp_path):
+    """The trained checkpoint transcribes in-domain utterances."""
+    from fvd_tpu.models.asr import JaxASR
+
+    asr = JaxASR.from_checkpoint(CKPT)
+    # stay inside the trained length distribution (3-10 chars)
+    utterances = ["hello", "fvd tpu", "deepfake"]
+    ok = total = 0
+    for i, text in enumerate(utterances):
+        path = _write_tone_wav(tmp_path, text, f"utt{i}.wav")
+        result = asr.transcribe(path)
+        assert result is not None
+        got = result["text"]
+        total += len(text)
+        ok += sum(a == b for a, b in zip(got, text))
+    assert ok / total >= 0.6, f"char accuracy {ok}/{total}"

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import string
 import sys
 import time
 
@@ -22,25 +21,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-ALPHABET = string.ascii_lowercase + " "
-SR = 16000
-CHAR_S = 0.08          # seconds per character tone
-BASE_HZ = 300.0
-STEP_HZ = 60.0
-
-
-def text_to_audio(text: str, rng: np.random.RandomState) -> np.ndarray:
-    chunks = []
-    n = int(SR * CHAR_S)
-    t = np.arange(n) / SR
-    for ch in text:
-        k = ALPHABET.index(ch)
-        f = BASE_HZ + k * STEP_HZ
-        tone = 0.4 * np.sin(2 * np.pi * f * t) * np.hanning(n)
-        chunks.append(tone)
-    audio = np.concatenate(chunks) if chunks else np.zeros(n)
-    audio = audio + 0.01 * rng.randn(len(audio))
-    return audio.astype(np.float32)
+from fvd_tpu.synthetic import TONE_ALPHABET as ALPHABET
+from fvd_tpu.synthetic import tone_speech as text_to_audio
 
 
 def random_utterance(rng: np.random.RandomState, min_len=3, max_len=10) -> str:
@@ -134,7 +116,8 @@ def main():
     import json
 
     with open(args.out.replace(".npz", ".json"), "w") as f:
-        json.dump({"dim": args.dim, "depth": args.depth}, f)
+        json.dump({"dim": args.dim, "depth": args.depth,
+                   "chunk_frames": mel_frames, "max_tokens": max_tokens}, f)
     print(f"[asr] saved {args.out}")
 
 
