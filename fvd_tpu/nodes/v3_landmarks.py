@@ -23,7 +23,12 @@ from fvd_tpu.config import Config, default_config
 from fvd_tpu.nodes._tracking import FaceTracker, TrackerConfig, landmark_box
 from fvd_tpu.ops.filters import one_euro_init_carry, one_euro_scan_chunk
 from fvd_tpu.providers import Providers, get_providers
-from fvd_tpu.providers.media import IncrementalVideoWriter, StreamingSampler, VideoReader
+from fvd_tpu.providers.media import (
+    IncrementalVideoWriter,
+    StreamingSampler,
+    VideoReader,
+    shared_landmarks,
+)
 from fvd_tpu.runtime.debug import dump_node_debug
 from fvd_tpu.state import State, StateDelta
 
@@ -81,8 +86,9 @@ def run(
     try:
         for frames, kept_ids in StreamingSampler(video_path, sample_ids,
                                                  chunk_size=cfg.stream_chunk_frames):
-            # ONE batched landmark forward per chunk.
-            all_landmarks = providers.landmarks.landmarks_batch(frames)
+            # ONE batched landmark forward per chunk, shared with V4.
+            all_landmarks = shared_landmarks(video_path, kept_ids,
+                                             providers.landmarks, frames)
 
             T = len(kept_ids)
             times = np.array(

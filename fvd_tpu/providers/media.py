@@ -107,8 +107,67 @@ class _FrameCache:
 _frame_cache = _FrameCache()
 
 
+class _LandmarkShare:
+    """Cross-branch model-result sharing.
+
+    V3 and V4 run the same landmark forward over the same sampled frames
+    (the reference runs FAN twice, v3:130 and v4:131); the DAG scheduler
+    executes them concurrently, so the second branch would duplicate a full
+    device forward. Results are shared per (path, provider, chunk): the
+    first arrival computes under a per-key lock, the concurrent branch
+    blocks briefly and reuses. Consumers treat landmark lists as read-only.
+    """
+
+    def __init__(self, max_entries: int = 64):
+        import threading
+
+        self._results: "dict[tuple, list]" = {}
+        self._locks: "dict[tuple, threading.Lock]" = {}
+        self._order: List[tuple] = []
+        self._global = threading.Lock()
+        self.max_entries = max_entries
+
+    def get(self, path: str, ids: Sequence[int], provider, frames: np.ndarray):
+        key = (path, id(provider), int(ids[0]), int(ids[-1]), len(ids))
+        import threading
+
+        with self._global:
+            lock = self._locks.setdefault(key, threading.Lock())
+        with lock:
+            with self._global:
+                if key in self._results:
+                    return self._results[key]
+            result = provider.landmarks_batch(frames)
+            with self._global:
+                self._results[key] = result
+                self._order.append(key)
+                while len(self._order) > self.max_entries:
+                    victim = self._order.pop(0)
+                    self._results.pop(victim, None)
+                    self._locks.pop(victim, None)
+            return result
+
+    def clear(self) -> None:
+        with self._global:
+            self._results.clear()
+            self._locks.clear()
+            self._order.clear()
+
+
+_landmark_share = _LandmarkShare()
+
+
+def shared_landmarks(path: str, ids: Sequence[int], provider, frames: np.ndarray):
+    """Landmark forward for ``frames`` (sampled ``ids`` of ``path``), shared
+    across concurrently-running nodes."""
+    if len(ids) == 0:
+        return []
+    return _landmark_share.get(path, ids, provider, frames)
+
+
 def clear_frame_cache() -> None:
     _frame_cache.clear()
+    _landmark_share.clear()
 
 
 class VideoReader:

@@ -78,24 +78,43 @@ def tone_speech(text: str, rng: np.random.RandomState | None = None) -> np.ndarr
     return audio.astype(np.float32)
 
 
+def _bright_boxes(frames: np.ndarray):
+    """Vectorized bright-square bounding boxes over a frame batch.
+
+    Returns (has, x1, y1, x2, y2) with inclusive int pixel extents.
+    ``sum > 360`` on uint16 is exactly ``mean(axis=-1) > 120`` without the
+    per-frame float materialization (the providers run per chunk inside the
+    pipeline's hot loop; one batched pass keeps the 1-core host feeding the
+    device).
+    """
+    frames = np.asarray(frames)
+    # channel sum without numpy's slow tiny-last-axis reduce (7x faster)
+    sums = frames[..., 0].astype(np.uint16)
+    sums += frames[..., 1]
+    sums += frames[..., 2]
+    mask = sums > 360  # [B, H, W]
+    rows = mask.any(axis=2)  # [B, H]
+    cols = mask.any(axis=1)  # [B, W]
+    has = rows.any(axis=1)
+    y1 = rows.argmax(axis=1)
+    y2 = rows.shape[1] - 1 - rows[:, ::-1].argmax(axis=1)
+    x1 = cols.argmax(axis=1)
+    x2 = cols.shape[1] - 1 - cols[:, ::-1].argmax(axis=1)
+    return has, x1, y1, x2, y2
+
+
 class SyntheticFaceDetector:
     """Finds the bright square — a deterministic FaceDetectorProvider."""
 
     model_name = "synthetic_blob"
 
     def detect_batch(self, frames: np.ndarray) -> List[List[FaceBox]]:
-        out = []
-        for frame in frames:
-            mask = frame.mean(axis=-1) > 120
-            ys, xs = np.nonzero(mask)
-            if len(xs) == 0:
-                out.append([])
-                continue
-            out.append(
-                [FaceBox(float(xs.min()), float(ys.min()),
-                         float(xs.max() + 1), float(ys.max() + 1), 0.95)]
-            )
-        return out
+        has, x1, y1, x2, y2 = _bright_boxes(frames)
+        return [
+            [FaceBox(float(x1[i]), float(y1[i]),
+                     float(x2[i] + 1), float(y2[i] + 1), 0.95)] if has[i] else []
+            for i in range(len(has))
+        ]
 
 
 class SyntheticLandmarks:
@@ -112,50 +131,53 @@ class SyntheticLandmarks:
         self.gate_hz = gate_hz
         self._call = 0
 
-    def _points_for(self, frame: np.ndarray, i: int) -> np.ndarray:
-        mask = frame.mean(axis=-1) > 120
-        ys, xs = np.nonzero(mask)
-        if len(xs) == 0:
-            return None
-        cx, cy = (xs.min() + xs.max()) / 2, (ys.min() + ys.max()) / 2
-        half = max((xs.max() - xs.min()) / 2, 12)
-        pts = np.zeros((68, 2))
-        ang = np.linspace(0, 2 * np.pi, 48, endpoint=False)
-        pts[:48, 0] = cx + 0.8 * half * np.cos(ang)
-        pts[:48, 1] = cy + 0.8 * half * np.sin(ang)
-        for base, ex in ((36, cx - 0.4 * half), (42, cx + 0.4 * half)):
-            ey = cy - 0.3 * half
-            pts[base + 0] = [ex - 6, ey]
-            pts[base + 3] = [ex + 6, ey]
-            pts[base + 1] = [ex - 2, ey - 2]
-            pts[base + 2] = [ex + 2, ey - 2]
-            pts[base + 4] = [ex + 2, ey + 2]
-            pts[base + 5] = [ex - 2, ey + 2]
+    def landmarks_batch(self, frames: np.ndarray) -> List[List[np.ndarray]]:
+        """One vectorized pass over the batch (same arithmetic, same values,
+        as the original per-frame formulation — the chunked-streaming and
+        golden lip-sync tests pin the outputs)."""
+        frames = np.asarray(frames)
+        b = len(frames)
+        if b == 0:
+            return []
+        has, x1, y1, x2, y2 = _bright_boxes(frames)
+        cx = (x1 + x2) / 2
+        cy = (y1 + y2) / 2
+        half = np.maximum((x2 - x1) / 2, 12)
+
         # aperture measured from the rendered mouth strip (content-based, so
         # chunked streaming sees identical landmarks regardless of batch
-        # boundaries; the strip height encodes the gate)
-        mouth_mask = np.all(np.abs(frame.astype(int) - 60) < 10, axis=-1)
-        strip_rows = np.nonzero(mouth_mask.any(axis=1))[0]
-        if len(strip_rows) > 0:
-            aperture = 2 + (strip_rows.max() - strip_rows.min())
-        else:
-            gate = 0.5 * (1 + np.sin(2 * np.pi * self.gate_hz * (i / self.fps)))
-            aperture = 2 + 10 * gate
+        # boundaries; the strip height encodes the gate). |v-60|<10 on uint8
+        # == 51..69 inclusive; the wraparound subtract needs one pass.
+        in_range = (frames - np.uint8(51)) <= np.uint8(18)
+        mouth_mask = in_range[..., 0] & in_range[..., 1] & in_range[..., 2]
+        strip = mouth_mask.any(axis=2)  # [B, H]
+        has_strip = strip.any(axis=1)
+        r1 = strip.argmax(axis=1)
+        r2 = strip.shape[1] - 1 - strip[:, ::-1].argmax(axis=1)
+        i = np.arange(b)
+        gate = 0.5 * (1 + np.sin(2 * np.pi * self.gate_hz * (i / self.fps)))
+        aperture = np.where(has_strip, 2 + (r2 - r1), 2 + 10 * gate)
+
+        pts = np.zeros((b, 68, 2))
+        ang = np.linspace(0, 2 * np.pi, 48, endpoint=False)
+        pts[:, :48, 0] = cx[:, None] + 0.8 * half[:, None] * np.cos(ang)
+        pts[:, :48, 1] = cy[:, None] + 0.8 * half[:, None] * np.sin(ang)
+        ey = cy - 0.3 * half
+        for base, ex in ((36, cx - 0.4 * half), (42, cx + 0.4 * half)):
+            pts[:, base + 0] = np.stack([ex - 6, ey], axis=1)
+            pts[:, base + 3] = np.stack([ex + 6, ey], axis=1)
+            pts[:, base + 1] = np.stack([ex - 2, ey - 2], axis=1)
+            pts[:, base + 2] = np.stack([ex + 2, ey - 2], axis=1)
+            pts[:, base + 4] = np.stack([ex + 2, ey + 2], axis=1)
+            pts[:, base + 5] = np.stack([ex - 2, ey + 2], axis=1)
         mcx, mcy = cx, cy + 0.5 * half
         outer = np.linspace(0, 2 * np.pi, 12, endpoint=False)
-        pts[48:60, 0] = mcx + 12 * np.cos(outer)
-        pts[48:60, 1] = mcy + aperture * np.sin(outer)
+        pts[:, 48:60, 0] = mcx[:, None] + 12 * np.cos(outer)
+        pts[:, 48:60, 1] = mcy[:, None] + aperture[:, None] * np.sin(outer)
         inner = np.linspace(0, 2 * np.pi, 8, endpoint=False)
-        pts[60:68, 0] = mcx + 8 * np.cos(inner)
-        pts[60:68, 1] = mcy + 0.7 * aperture * np.sin(inner)
-        return pts
-
-    def landmarks_batch(self, frames: np.ndarray) -> List[List[np.ndarray]]:
-        out = []
-        for i, frame in enumerate(frames):
-            pts = self._points_for(frame, i)
-            out.append([pts] if pts is not None else [])
-        return out
+        pts[:, 60:68, 0] = mcx[:, None] + 8 * np.cos(inner)
+        pts[:, 60:68, 1] = mcy[:, None] + 0.7 * aperture[:, None] * np.sin(inner)
+        return [[pts[k]] if has[k] else [] for k in range(b)]
 
     def pose_batch(self, crops: np.ndarray) -> np.ndarray:
         n = len(crops)

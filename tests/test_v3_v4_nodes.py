@@ -84,10 +84,10 @@ def test_v3_smoothing_actually_applied(run_dir):
     def noisy(i, frame):
         from fvd_tpu.synthetic import SyntheticLandmarks
 
-        pts = SyntheticLandmarks(fps=10.0)._points_for(frame, i)
-        if pts is None:
+        lm = SyntheticLandmarks(fps=10.0).landmarks_batch(frame[None])[0]
+        if not lm:
             return []
-        return [pts + rng.randn(68, 2) * 4.0]
+        return [lm[0] + rng.randn(68, 2) * 4.0]
 
     providers = Providers(landmarks=ScriptedLandmarks(frames_landmarks=noisy))
     delta = v3_landmarks.run(State(data_dir=run_dir), providers=providers)
