@@ -1,9 +1,15 @@
 """End-to-end throughput benchmark.
 
 Runs the full 16-node pipeline (ingest -> audio/vision/cross-modal/evidence
--> LR fusion) over synthetic 30 s videos with hermetic providers (real
-device kernels for resample/STFT/onsets/envelope/lip-sync/ELA/FFT; no
-network), and reports sustained videos/min.
+-> LR fusion) over synthetic 30 s videos and reports sustained videos/min.
+
+Two modes:
+* default — procedural-face clips analyzed by the TRAINED device models
+  (SSD face detector, landmark/pose regressors, ASR encoder-decoder): every
+  V/A forward is a real JAX program on the accelerator, the configuration
+  BASELINE.json's north star describes.
+* --fixtures — bright-square clips with deterministic numpy stand-in
+  providers (isolates the framework/runtime cost from model forwards).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "videos/min", "vs_baseline": N/50}
@@ -32,28 +38,50 @@ def main() -> None:
     from fvd_tpu.graph import build_graph
     from fvd_tpu.runtime.scheduler import Scheduler
     from fvd_tpu.state import State
-    from fvd_tpu.synthetic import hermetic_providers, make_synthetic_video
 
     import dataclasses
 
+    fixtures = "--fixtures" in sys.argv
+
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
 
+    repo_root = os.path.dirname(os.path.abspath(__file__))
     workdir = tempfile.mkdtemp(prefix="fvd_bench_")
     os.chdir(workdir)
 
     duration, fps = 30.0, 30.0
     n_videos = 8
-    log(f"generating {n_videos} synthetic videos ({duration}s @ {fps}fps, 320x240)...")
-    videos = [
-        make_synthetic_video("media", name=f"clip{i}", duration=duration, fps=fps,
-                             width=320, height=240)
-        for i in range(n_videos)
-    ]
+
+    if fixtures:
+        from fvd_tpu.synthetic import hermetic_providers, make_synthetic_video
+
+        log(f"generating {n_videos} fixture videos ({duration}s @ {fps}fps, 320x240)...")
+        videos = [
+            make_synthetic_video("media", name=f"clip{i}", duration=duration,
+                                 fps=fps, width=320, height=240)
+            for i in range(n_videos)
+        ]
+        providers = hermetic_providers(fps=fps)
+        metric = "end_to_end_videos_per_min_30s_clips_fixtures"
+    else:
+        from fvd_tpu.providers.factory import production_providers
+        from fvd_tpu.synthetic import make_face_video
+
+        log(f"generating {n_videos} face videos ({duration}s @ {fps}fps, 320x240)...")
+        videos = [
+            make_face_video("media", name=f"clip{i}", duration=duration, fps=fps,
+                            width=320, height=240, seed=i)
+            for i in range(n_videos)
+        ]
+        providers = production_providers(
+            checkpoint_dir=os.path.join(repo_root, "checkpoints"),
+            use_llm=False, use_search=False,
+        )
+        metric = "end_to_end_videos_per_min_30s_clips_real_models"
 
     config = dataclasses.replace(
         default_config(), evidence=EvidenceConfig(rate_limit_s=0.0, max_workers=4)
     )
-    providers = hermetic_providers(fps=fps)
     dag = build_graph(config, providers)
 
     # Warmup (compile all device programs for these shapes).
@@ -83,7 +111,7 @@ def main() -> None:
     log(f"best: {per_video:.2f}s/video; probs={probs}")
 
     print(json.dumps({
-        "metric": "end_to_end_videos_per_min_30s_clips",
+        "metric": metric,
         "value": round(videos_per_min, 2),
         "unit": "videos/min",
         "vs_baseline": round(videos_per_min / 50.0, 3),

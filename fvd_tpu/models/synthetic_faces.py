@@ -51,8 +51,63 @@ def _build_template() -> np.ndarray:
 TEMPLATE_68 = _build_template()
 
 
+def draw_face(
+    img: np.ndarray,
+    cx: float,
+    cy: float,
+    fw: float,
+    fh: float,
+    skin: np.ndarray,
+    aperture: float | None = None,
+) -> np.ndarray:
+    """Draw one face into ``img`` (in place); -> landmarks [68, 2] px.
+
+    ``aperture`` in [0, 1] animates the mouth opening (landmarks AND the
+    rendered mouth ellipse move together, so a landmark regressor trained
+    with varied apertures can read the opening back from pixels — the
+    signal C1's MAR track needs). ``None`` keeps the legacy fixed-mouth
+    rendering that the existing detector/pose/CLIP batches were trained on.
+    """
+    import cv2
+
+    cv2.ellipse(img, (int(cx), int(cy)), (int(fw / 2), int(fh / 2)), 0, 0, 360,
+                skin.tolist(), -1)
+
+    x1, y1 = cx - fw / 2, cy - fh / 2
+    pts = TEMPLATE_68.copy()
+    out_ry, in_ry = 0.07, 0.045
+    if aperture is not None:
+        out_ry = 0.02 + 0.09 * float(aperture)
+        in_ry = out_ry * 0.64
+        a12 = np.linspace(0, 2 * np.pi, 12, endpoint=False)
+        pts[48:60, 1] = 0.78 + out_ry * np.sin(a12)
+        a8 = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+        pts[60:68, 1] = 0.78 + in_ry * np.sin(a8)
+    pts[:, 0] = x1 + pts[:, 0] * fw
+    pts[:, 1] = y1 + pts[:, 1] * fh
+
+    dark = (skin * 0.35).astype(int).tolist()
+    # eyes
+    for base in (36, 42):
+        center = pts[base : base + 6].mean(axis=0).astype(int)
+        cv2.ellipse(img, tuple(center), (max(2, int(fw * 0.08)), max(1, int(fw * 0.035))),
+                    0, 0, 360, dark, -1)
+    # brows
+    for sl in (slice(17, 22), slice(22, 27)):
+        p = pts[sl].astype(np.int32)
+        cv2.polylines(img, [p], False, dark, max(1, int(fw * 0.02)))
+    # mouth (vertical radius follows the landmark aperture)
+    mouth_c = pts[48:60].mean(axis=0).astype(int)
+    mouth_ry = max(1, int(fh * out_ry)) if aperture is not None else max(1, int(fw * 0.06))
+    cv2.ellipse(img, tuple(mouth_c), (max(2, int(fw * 0.16)), mouth_ry),
+                0, 0, 360, (120, 40, 40), -1)
+    # nose line
+    cv2.polylines(img, [pts[27:31].astype(np.int32)], False, dark, max(1, int(fw * 0.015)))
+    return pts.astype(np.float32)
+
+
 def render_face(
-    rng: np.random.RandomState, size: int = 300
+    rng: np.random.RandomState, size: int = 300, aperture: float | None = None
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (image uint8 [size, size, 3], gt box [4] normalized corners,
     landmarks [68, 2] in pixels)."""
@@ -70,33 +125,11 @@ def render_face(
     skin = np.array([
         rng.randint(160, 230), rng.randint(120, 190), rng.randint(100, 170)
     ])
-    cv2.ellipse(img, (int(cx), int(cy)), (int(fw / 2), int(fh / 2)), 0, 0, 360,
-                skin.tolist(), -1)
+    pts = draw_face(img, cx, cy, fw, fh, skin, aperture)
 
     x1, y1 = cx - fw / 2, cy - fh / 2
-    pts = TEMPLATE_68.copy()
-    pts[:, 0] = x1 + pts[:, 0] * fw
-    pts[:, 1] = y1 + pts[:, 1] * fh
-
-    dark = (skin * 0.35).astype(int).tolist()
-    # eyes
-    for base in (36, 42):
-        center = pts[base : base + 6].mean(axis=0).astype(int)
-        cv2.ellipse(img, tuple(center), (max(2, int(fw * 0.08)), max(1, int(fw * 0.035))),
-                    0, 0, 360, dark, -1)
-    # brows
-    for sl in (slice(17, 22), slice(22, 27)):
-        p = pts[sl].astype(np.int32)
-        cv2.polylines(img, [p], False, dark, max(1, int(fw * 0.02)))
-    # mouth
-    mouth_c = pts[48:60].mean(axis=0).astype(int)
-    cv2.ellipse(img, tuple(mouth_c), (max(2, int(fw * 0.16)), max(1, int(fw * 0.06))),
-                0, 0, 360, (120, 40, 40), -1)
-    # nose line
-    cv2.polylines(img, [pts[27:31].astype(np.int32)], False, dark, max(1, int(fw * 0.015)))
-
     box = np.array([x1 / size, y1 / size, (x1 + fw) / size, (y1 + fh) / size], np.float32)
-    return img, box, pts.astype(np.float32)
+    return img, box, pts
 
 
 def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300):
@@ -130,7 +163,9 @@ def landmark_batch(rng: np.random.RandomState, batch: int, crop: int = 128):
     crops = np.zeros((batch, crop, crop, 3), np.float32)
     targets = np.zeros((batch, 68, 2), np.float32)
     for i in range(batch):
-        img, box, pts = render_face(rng, 256)
+        # varied mouth aperture: the regressor must read the opening from
+        # pixels (C1's MAR signal), not memorize the template
+        img, box, pts = render_face(rng, 256, aperture=rng.uniform(0.0, 1.0))
         size = 256
         x1, y1, x2, y2 = (box * size).astype(int)
         # jittered crop

@@ -52,6 +52,56 @@ def make_synthetic_video(
     return video_path
 
 
+def make_face_video(
+    dirpath: str,
+    name: str = "face",
+    duration: float = 6.0,
+    fps: float = 10.0,
+    width: int = 320,
+    height: int = 240,
+    gate_hz: float = 1.0,
+    sr: int = 16000,
+    seed: int = 0,
+) -> str:
+    """Procedural-face video for the real-model path: an elliptical face
+    (the trained detector/landmark nets' domain, models/synthetic_faces.py)
+    whose mouth aperture follows the same gate as the audio track, with a
+    slow center drift that exercises IoU tracking. Unlike
+    ``make_synthetic_video`` (fixture-provider blob), this one is meant to
+    be analyzed by the actual device models.
+    """
+    import cv2
+
+    from fvd_tpu.models.synthetic_faces import draw_face
+
+    os.makedirs(dirpath, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    background = (rng.rand(height, width, 3) * 60 + rng.rand(3) * 120).astype(np.uint8)
+    background = cv2.blur(background, (5, 5))
+    skin = np.array([rng.randint(160, 230), rng.randint(120, 190), rng.randint(100, 170)])
+
+    fh = 0.62 * height
+    fw = fh / 1.25
+    n = int(fps * duration)
+    frames = np.zeros((n, height, width, 3), np.uint8)
+    for i in range(n):
+        t = i / fps
+        gate = 0.5 * (1 + np.sin(2 * np.pi * gate_hz * t))
+        cx = width / 2 + 0.06 * width * np.sin(2 * np.pi * 0.05 * t)
+        cy = height / 2 + 0.04 * height * np.cos(2 * np.pi * 0.07 * t)
+        frame = background.copy()
+        draw_face(frame, cx, cy, fw, fh, skin, aperture=gate)
+        frames[i] = frame
+    video_path = os.path.join(dirpath, f"{name}.mp4")
+    write_video(video_path, frames, fps)
+
+    t = np.arange(int(sr * duration)) / sr
+    gate = (np.sin(2 * np.pi * gate_hz * t) > 0).astype(np.float32)
+    sig = 0.5 * np.sin(2 * np.pi * 330 * t).astype(np.float32) * gate
+    write_wav(os.path.join(dirpath, f"{name}.wav"), sig, sr)
+    return video_path
+
+
 TONE_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
 TONE_SR = 16000
 TONE_CHAR_S = 0.08

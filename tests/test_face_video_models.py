@@ -1,0 +1,55 @@
+"""Real-model path over procedural-face video.
+
+The reference's V-nodes run real pretrained models (SSD v1:105-108, FAN
+v3:130/v4:131). Here the trained JAX checkpoints analyze a rendered face
+video: the detector must find the face, and the landmark regressor's mouth
+aperture (MAR) must track the audio gate — the signal C1's lip-sync score
+is built on.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+CKPT_DIR = os.path.join(os.path.dirname(__file__), "..", "checkpoints")
+HAS_CKPTS = all(
+    os.path.exists(os.path.join(CKPT_DIR, f))
+    for f in ("face_ssd.npz", "landmarks.npz")
+)
+
+
+def _mar(mouth: np.ndarray) -> float:
+    v = (abs(mouth[2, 1] - mouth[10, 1]) + abs(mouth[3, 1] - mouth[9, 1])
+         + abs(mouth[4, 1] - mouth[8, 1]))
+    h = abs(mouth[0, 0] - mouth[6, 0])
+    return float(v / (3 * h)) if h > 0 else 0.0
+
+
+@pytest.mark.skipif(not HAS_CKPTS, reason="no trained vision checkpoints")
+def test_trained_models_track_face_video(tmp_path):
+    from fvd_tpu.providers.factory import production_providers
+    from fvd_tpu.providers.media import VideoReader, clear_frame_cache
+    from fvd_tpu.synthetic import make_face_video
+
+    fps, gate_hz = 10.0, 1.0
+    path = make_face_video(str(tmp_path), "face", duration=4.0, fps=fps,
+                           gate_hz=gate_hz)
+    prov = production_providers(checkpoint_dir=os.path.abspath(CKPT_DIR),
+                                use_llm=False, use_search=False)
+    clear_frame_cache()
+    frames, kept = VideoReader().sample(path, list(range(40)))
+    assert len(kept) >= 30
+
+    dets = prov.face_detector.detect_batch(frames)
+    det_rate = sum(1 for d in dets if d) / len(dets)
+    assert det_rate >= 0.8, f"detection rate {det_rate}"
+
+    lms = prov.landmarks.landmarks_batch(frames)
+    ok = [i for i, l in enumerate(lms) if l]
+    assert len(ok) >= 0.8 * len(lms)
+
+    mars = np.array([_mar(np.asarray(lms[i][0])[48:68]) for i in ok])
+    gate = 0.5 * (1 + np.sin(2 * np.pi * gate_hz * (np.asarray(kept)[ok] / fps)))
+    corr = float(np.corrcoef(mars, gate)[0, 1])
+    assert corr > 0.3, f"MAR/gate correlation {corr}"
