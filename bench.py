@@ -73,10 +73,19 @@ def main() -> None:
                             width=320, height=240, seed=i)
             for i in range(n_videos)
         ]
+        ckpt_dir = os.path.join(repo_root, "checkpoints")
+        required = ("face_ssd.npz", "landmarks.npz", "pose.npz", "asr.npz")
+        missing = [f for f in required if not os.path.exists(os.path.join(ckpt_dir, f))]
+        if missing:
+            log(f"FATAL: trained checkpoints missing from {ckpt_dir}: {missing}; "
+                "train with tools/pretrain_*.py or run with --fixtures")
+            sys.exit(1)
         providers = production_providers(
-            checkpoint_dir=os.path.join(repo_root, "checkpoints"),
-            use_llm=False, use_search=False,
+            checkpoint_dir=ckpt_dir, use_llm=False, use_search=False,
         )
+        # the metric name promises real trained forwards — refuse to publish
+        # a random-init number under it
+        assert type(providers.asr).__name__ == "JaxASR", providers.asr
         metric = "end_to_end_videos_per_min_30s_clips_real_models"
 
     config = dataclasses.replace(

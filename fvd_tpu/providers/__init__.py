@@ -56,13 +56,20 @@ class Providers:
 
 
 _default: Providers = Providers()
+_default_is_custom: bool = False
 
 
 def get_providers() -> Providers:
     return _default
 
 
+def providers_installed() -> bool:
+    """True once set_providers() has replaced the inert default bundle."""
+    return _default_is_custom
+
+
 def set_providers(providers: Providers) -> Providers:
-    global _default
+    global _default, _default_is_custom
     _default = providers
+    _default_is_custom = True
     return _default

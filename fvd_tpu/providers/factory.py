@@ -37,28 +37,44 @@ def _build_ocr(det_ckpt: str, rec_ckpt: str):
     return ocr.JaxOCR(det_params=det_params, rec_params=rec_params)
 
 
+KNOWN_CHECKPOINTS = (
+    "face_ssd.npz", "landmarks.npz", "pose.npz", "clip.npz", "asr.npz",
+    "ocr_rec.npz", "ocr_det.npz", "text_encoder.npz", "hf",
+)
+
+
+def _has_checkpoints(path: str) -> bool:
+    return any(os.path.exists(os.path.join(path, f)) for f in KNOWN_CHECKPOINTS)
+
+
 def default_checkpoint_dir() -> str:
-    """Checkpoint search order: $FVD_CHECKPOINT_DIR, ./checkpoints, then the
-    repo-root checkpoints/ next to the package (the CLI can run from any cwd).
+    """Checkpoint search order: $FVD_CHECKPOINT_DIR, ./checkpoints (only when
+    it actually holds fvd checkpoints — an unrelated same-named directory
+    must not shadow the trained weights), then the repo-root checkpoints/
+    next to the package (the CLI can run from any cwd).
     """
     env = os.environ.get("FVD_CHECKPOINT_DIR")
     if env:
         return env
-    if os.path.isdir("checkpoints"):
+    if os.path.isdir("checkpoints") and _has_checkpoints("checkpoints"):
         return "checkpoints"
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     return os.path.join(repo_root, "checkpoints")
 
 
 def bootstrap_production(use_llm: bool = True, use_search: bool = True) -> Providers:
-    """Install the production bundle as the process default (entry points call
-    this; unit tests keep the inert default bundle and inject their own).
+    """Install the production bundle as the process default unless a caller
+    already installed one via set_providers() (entry points call this; tests
+    and embedders that inject their own bundle keep it).
     """
-    from fvd_tpu.providers import set_providers
+    from fvd_tpu.providers import get_providers, providers_installed, set_providers
 
+    if providers_installed():
+        return get_providers()
+    ckpt_dir = default_checkpoint_dir()
+    print(f"providers: checkpoints from {os.path.abspath(ckpt_dir)}")
     return set_providers(
-        production_providers(default_checkpoint_dir(), use_llm=use_llm,
-                             use_search=use_search)
+        production_providers(ckpt_dir, use_llm=use_llm, use_search=use_search)
     )
 
 
@@ -142,8 +158,14 @@ def production_providers(
         meta_path = clip_ckpt.replace(".npz", ".json")
         kwargs = {}
         if os.path.exists(meta_path):
+            import inspect
+
             with open(meta_path) as f:
-                kwargs = json.load(f)
+                meta = json.load(f)
+            # sidecars may carry extra bookkeeping fields; take only what
+            # the constructor knows
+            accepted = set(inspect.signature(encoders.JaxClip.__init__).parameters)
+            kwargs = {k: v for k, v in meta.items() if k in accepted}
         clip = encoders.JaxClip(checkpoint=clip_ckpt, **kwargs)
     asr_ckpt = os.path.join(checkpoint_dir, "asr.npz")
     if asr is None and os.path.exists(asr_ckpt):

@@ -128,7 +128,11 @@ class _LandmarkShare:
         self.max_entries = max_entries
 
     def get(self, path: str, ids: Sequence[int], provider, frames: np.ndarray):
-        key = (path, id(provider), int(ids[0]), int(ids[-1]), len(ids))
+        # full ids in the key (same first/last/len with different interiors
+        # must not collide); the cached entry keeps a strong ref to the
+        # provider so a recycled id() can never alias a dead provider's
+        # results
+        key = (path, id(provider), hash(tuple(int(i) for i in ids)), len(ids))
         import threading
 
         with self._global:
@@ -136,10 +140,10 @@ class _LandmarkShare:
         with lock:
             with self._global:
                 if key in self._results:
-                    return self._results[key]
+                    return self._results[key][1]
             result = provider.landmarks_batch(frames)
             with self._global:
-                self._results[key] = result
+                self._results[key] = (provider, result)
                 self._order.append(key)
                 while len(self._order) > self.max_entries:
                     victim = self._order.pop(0)

@@ -138,6 +138,8 @@ def _bright_boxes(frames: np.ndarray):
     device).
     """
     frames = np.asarray(frames)
+    if frames.dtype != np.uint8:  # the fast paths below assume uint8 frames
+        frames = np.clip(frames, 0, 255).astype(np.uint8)
     # channel sum without numpy's slow tiny-last-axis reduce (7x faster)
     sums = frames[..., 0].astype(np.uint16)
     sums += frames[..., 1]
@@ -186,6 +188,8 @@ class SyntheticLandmarks:
         as the original per-frame formulation — the chunked-streaming and
         golden lip-sync tests pin the outputs)."""
         frames = np.asarray(frames)
+        if frames.dtype != np.uint8:  # the mouth-strip range check is uint8
+            frames = np.clip(frames, 0, 255).astype(np.uint8)
         b = len(frames)
         if b == 0:
             return []

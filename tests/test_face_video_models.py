@@ -52,4 +52,6 @@ def test_trained_models_track_face_video(tmp_path):
     mars = np.array([_mar(np.asarray(lms[i][0])[48:68]) for i in ok])
     gate = 0.5 * (1 + np.sin(2 * np.pi * gate_hz * (np.asarray(kept)[ok] / fps)))
     corr = float(np.corrcoef(mars, gate)[0, 1])
-    assert corr > 0.3, f"MAR/gate correlation {corr}"
+    # aperture-varied retrain reaches ~0.98; the margin keeps CPU/TPU
+    # numeric drift from flaking the suite
+    assert corr > 0.8, f"MAR/gate correlation {corr}"

@@ -78,13 +78,13 @@ def test_v4_no_provider_noop(run_dir):
 
 def test_v3_smoothing_actually_applied(run_dir):
     """Noisy scripted landmarks must come out smoother than they went in."""
+    from fvd_tpu.synthetic import SyntheticLandmarks
+
     rng = np.random.RandomState(0)
-    base = None
+    synth = SyntheticLandmarks(fps=10.0)
 
     def noisy(i, frame):
-        from fvd_tpu.synthetic import SyntheticLandmarks
-
-        lm = SyntheticLandmarks(fps=10.0).landmarks_batch(frame[None])[0]
+        lm = synth.landmarks_batch(frame[None])[0]
         if not lm:
             return []
         return [lm[0] + rng.randn(68, 2) * 4.0]

@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 from fvd_tpu.synthetic import TONE_ALPHABET as ALPHABET
+from fvd_tpu.synthetic import TONE_CHAR_S as CHAR_S
+from fvd_tpu.synthetic import TONE_SR as SR
 from fvd_tpu.synthetic import tone_speech as text_to_audio
 
 
@@ -30,24 +32,45 @@ def random_utterance(rng: np.random.RandomState, min_len=3, max_len=10) -> str:
     return "".join(ALPHABET[rng.randint(len(ALPHABET))] for _ in range(n))
 
 
+_batched_log_mel = None
+
+
 def asr_batch(rng, batch: int, tok, mel_frames: int, max_tokens: int):
+    """Host work is numpy-only; the log-mel frontend runs as ONE batched
+    device program per step (a per-sample jnp dispatch inside this loop
+    would starve the single host core, CLAUDE.md environment rules)."""
+    import jax
     import jax.numpy as jnp
 
-    from fvd_tpu.models.asr import N_MELS, log_mel
+    from fvd_tpu.models.asr import HOP, N_MELS, log_mel
 
-    mels = np.zeros((batch, mel_frames, N_MELS), np.float32)
+    global _batched_log_mel
+    if _batched_log_mel is None:
+        _batched_log_mel = jax.jit(jax.vmap(log_mel))
+
+    max_chars = 10
+    pad_len = int(SR * CHAR_S) * max_chars
+    audio = np.zeros((batch, pad_len), np.float32)
+    lens = np.zeros(batch, np.int64)
     tokens_in = np.zeros((batch, max_tokens), np.int32)
     tokens_out = np.zeros((batch, max_tokens), np.int32)
     texts = []
     for i in range(batch):
         text = random_utterance(rng)
-        mel = np.asarray(log_mel(jnp.asarray(text_to_audio(text, rng))))
-        m = min(mel.shape[0], mel_frames)
-        mels[i, :m] = mel[:m]
+        a = text_to_audio(text, rng)
+        n = min(len(a), pad_len)
+        audio[i, :n] = a[:n]
+        lens[i] = n
         target = tok.encode(text, max_tokens, add_special=True)
         tokens_in[i] = np.concatenate([[tok.BOS], target[:-1]])
         tokens_out[i] = target
         texts.append(text)
+
+    mel = np.asarray(_batched_log_mel(jnp.asarray(audio)))  # [B, F, 80]
+    mels = np.zeros((batch, mel_frames, N_MELS), np.float32)
+    for i in range(batch):
+        m = min(1 + int(lens[i]) // HOP, mel_frames, mel.shape[1])
+        mels[i, :m] = mel[i, :m]
     return mels, tokens_in, tokens_out, texts
 
 
