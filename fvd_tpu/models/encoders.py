@@ -189,12 +189,19 @@ class JaxClip:
         self.params = params
 
     def image_text_similarity(self, image: np.ndarray, text: str) -> float:
+        return float(self.image_text_similarity_batch([image], [text])[0])
+
+    def image_text_similarity_batch(self, images, texts) -> np.ndarray:
+        """Paired (image_i, text_i) cosines in ONE device program — C2 scores
+        a whole keyframe set per dispatch instead of one."""
         import cv2
 
-        img = cv2.resize(image, (IMAGE_SIZE, IMAGE_SIZE)).astype(np.float32) / 255.0
-        ids = self.tok.encode(text, MAX_TEXT_LEN)
+        imgs = np.stack([
+            cv2.resize(im, (IMAGE_SIZE, IMAGE_SIZE)) for im in images
+        ]).astype(np.float32) / 255.0
+        ids = np.stack([self.tok.encode(t, MAX_TEXT_LEN) for t in texts])
         sim = _clip_similarity(
-            self.params, jnp.asarray(img[None]), jnp.asarray(ids[None]),
+            self.params, jnp.asarray(imgs), jnp.asarray(ids),
             dim=self.dim, depth=self.depth, out_dim=self.out_dim,
         )
-        return (float(sim[0]) - self.cal_offset) * self.cal_scale
+        return (np.asarray(sim) - self.cal_offset) * self.cal_scale

@@ -148,42 +148,56 @@ class JaxOCR:
         self.region_threshold = region_threshold
 
     def read_text(self, image: np.ndarray) -> List[Dict[str, Any]]:
+        return self.read_text_batch([image])[0]
+
+    def read_text_batch(self, images) -> List[List[Dict[str, Any]]]:
+        """All frames in TWO device programs: one detector forward over the
+        frame batch, one recognizer forward over every region crop of every
+        frame (V2 calls this once per keyframe set — per-frame dispatch
+        latency was the real-model pipeline's dominant cost)."""
         import cv2
 
-        h, w = image.shape[:2]
-        det_in = cv2.resize(image, (DET_SIZE, DET_SIZE)).astype(np.float32) / 255.0
-        prob = np.asarray(
-            detect_forward(self.det_params, jnp.asarray(det_in[None]),
-                           width=self.det_width)
-        )[0]
-        boxes = region_boxes(prob, self.region_threshold)
-        if not boxes:
+        if len(images) == 0:
             return []
-        sx, sy = w / DET_SIZE, h / DET_SIZE
-        lines, pixel_boxes = [], []
-        for (x, y, bw, bh) in boxes:
-            px, py = int(x * sx), int(y * sy)
-            pw, ph = max(1, int(bw * sx)), max(1, int(bh * sy))
-            crop = image[py : py + ph, px : px + pw]
-            if crop.size == 0:
-                continue
-            gray = cv2.cvtColor(crop, cv2.COLOR_RGB2GRAY)
-            lines.append(cv2.resize(gray, (LINE_W, LINE_H)).astype(np.float32) / 255.0)
-            pixel_boxes.append((px, py, pw, ph))
+        det_in = np.stack([
+            cv2.resize(im, (DET_SIZE, DET_SIZE)) for im in images
+        ]).astype(np.float32) / 255.0
+        probs_maps = np.asarray(
+            detect_forward(self.det_params, jnp.asarray(det_in), width=self.det_width)
+        )
+
+        lines: List[np.ndarray] = []
+        line_meta: List[tuple] = []  # (frame index, pixel box)
+        for fi, (image, prob) in enumerate(zip(images, probs_maps)):
+            h, w = image.shape[:2]
+            sx, sy = w / DET_SIZE, h / DET_SIZE
+            for (x, y, bw, bh) in region_boxes(prob, self.region_threshold):
+                px, py = int(x * sx), int(y * sy)
+                pw, ph = max(1, int(bw * sx)), max(1, int(bh * sy))
+                crop = image[py : py + ph, px : px + pw]
+                if crop.size == 0:
+                    continue
+                gray = cv2.cvtColor(crop, cv2.COLOR_RGB2GRAY)
+                lines.append(cv2.resize(gray, (LINE_W, LINE_H)).astype(np.float32) / 255.0)
+                line_meta.append((fi, (px, py, pw, ph)))
+
+        out: List[List[Dict[str, Any]]] = [[] for _ in images]
         if not lines:
-            return []
+            return out
         logits = np.asarray(
             recognize_forward(self.rec_params,
                               jnp.asarray(np.stack(lines))[..., None],
                               width=self.rec_width)
         )
         texts = ctc_greedy_decode(logits)
-        probs = np.exp(np.max(jax.nn.log_softmax(jnp.asarray(logits), -1), axis=-1)).mean(-1)
-        out = []
-        for (px, py, pw, ph), text, conf in zip(pixel_boxes, texts, probs):
+        # host-side softmax confidence (no extra device dispatch)
+        lse = np.log(np.sum(np.exp(logits - logits.max(-1, keepdims=True)), -1)) \
+            + logits.max(-1, keepdims=False)
+        confs = np.exp(logits.max(-1) - lse).mean(-1)
+        for (fi, (px, py, pw, ph)), text, conf in zip(line_meta, texts, confs):
             if not text:
                 continue
-            out.append(
+            out[fi].append(
                 {
                     "text": text,
                     "confidence": float(conf),

@@ -81,24 +81,41 @@ def run(
     fps = (state.get("metadata", {}) or {}).get("video_fps", 30.0)
     gesture_checks: List[Dict[str, Any]] = []
 
+    # Gather every (keyframe, matched segment) pair first, then score the
+    # whole set in ONE device program; only the genuinely ambiguous band
+    # escalates to the per-frame LLM fallback (c2:126-171 semantics).
+    candidates: List[tuple] = []  # (frame_id, timestamp, text, image)
     for kf_path in keyframes:
         frame_id = parse_frame_id(kf_path)
         if frame_id == -1:
             continue
         timestamp = frame_id / fps
-
         matched = find_closest_segment(timestamp, segments, cfg.segment_tolerance_s)
         if not matched:
             continue
-        text = matched["text"]
-
         image = _load_image(kf_path)
         if image is None:
             continue
+        candidates.append((frame_id, timestamp, matched["text"], image))
 
+    scores: List[Optional[float]] = []
+    batch_fn = getattr(providers.clip, "image_text_similarity_batch", None)
+    if batch_fn is not None and candidates:
         try:
-            score = float(providers.clip.image_text_similarity(image, text))
+            scores = [float(s) for s in batch_fn(
+                [c[3] for c in candidates], [c[2] for c in candidates])]
         except Exception:
+            scores = []
+    if len(scores) != len(candidates):
+        scores = []
+        for (_, _, text, image) in candidates:
+            try:
+                scores.append(float(providers.clip.image_text_similarity(image, text)))
+            except Exception:
+                scores.append(None)
+
+    for (frame_id, timestamp, text, image), score in zip(candidates, scores):
+        if score is None:
             continue
 
         status = "Uncertain"

@@ -45,12 +45,19 @@ def run(
         print("V2: no keyframes found; skipping OCR.")
         return {}
 
+    loaded = [(kf, _load_image(kf)) for kf in keyframes]
+    loaded = [(kf, im) for kf, im in loaded if im is not None]
+
+    # One batched forward for the whole keyframe set when the provider
+    # supports it (JaxOCR: 2 device programs total vs 2 per frame).
+    batch_fn = getattr(providers.ocr, "read_text_batch", None)
+    if batch_fn is not None and loaded:
+        all_detections = batch_fn([im for _, im in loaded])
+    else:
+        all_detections = [providers.ocr.read_text(im) for _, im in loaded]
+
     ocr_results: List[dict] = []
-    for kf_path in keyframes:
-        image = _load_image(kf_path)
-        if image is None:
-            continue
-        detections = providers.ocr.read_text(image)
+    for (kf_path, _), detections in zip(loaded, all_detections):
         frame_text = [
             {
                 "text": d.get("text", ""),

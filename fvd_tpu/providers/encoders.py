@@ -73,3 +73,8 @@ class StubClip:
             if key in text:
                 return score
         return self.default
+
+    def image_text_similarity_batch(self, images, texts) -> np.ndarray:
+        return np.array([
+            self.image_text_similarity(im, t) for im, t in zip(images, texts)
+        ])

@@ -160,6 +160,15 @@ class HFClip:
         )
         return float(sim[0])
 
+    def image_text_similarity_batch(self, images, texts) -> np.ndarray:
+        """Paired cosines for the whole keyframe set in one forward."""
+        enc = self.tokenize(list(texts))
+        pixels = np.concatenate([self._preprocess(im) for im in images])
+        sim = self._similarity(
+            self.model.params, pixels, enc["input_ids"], enc["attention_mask"]
+        )
+        return np.asarray(sim)
+
 
 # ---------------------------------------------------------------------------
 # Whisper (FlaxWhisperForConditionalGeneration)
