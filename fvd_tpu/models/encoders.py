@@ -157,6 +157,8 @@ class JaxTextEncoder:
 
 @partial(jax.jit, static_argnames=("dim", "depth", "out_dim"))
 def _clip_similarity(params, images, ids, dim=192, depth=6, out_dim=256):
+    if images.dtype == jnp.uint8:  # ship uint8, normalize on device
+        images = images.astype(jnp.float32) / 255.0
     model = ClipModel(dim=dim, depth=depth, out_dim=out_dim)
     ie = model.apply(params, images, method=ClipModel.encode_image)
     te = model.apply(params, ids, method=ClipModel.encode_text)
@@ -196,9 +198,7 @@ class JaxClip:
         a whole keyframe set per dispatch instead of one."""
         import cv2
 
-        imgs = np.stack([
-            cv2.resize(im, (IMAGE_SIZE, IMAGE_SIZE)) for im in images
-        ]).astype(np.float32) / 255.0
+        imgs = np.stack([cv2.resize(im, (IMAGE_SIZE, IMAGE_SIZE)) for im in images])
         ids = np.stack([self.tok.encode(t, MAX_TEXT_LEN) for t in texts])
         sim = _clip_similarity(
             self.params, jnp.asarray(imgs), jnp.asarray(ids),

@@ -99,11 +99,16 @@ def ctc_loss(params, model: CTCRecognizer, images, labels, label_pad=0):
 
 @partial(jax.jit, static_argnames=("width",))
 def detect_forward(params, images, width=16):
+    # uint8 ships 4x fewer bytes host->HBM; /255 on device is bit-identical
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
     return jax.nn.sigmoid(TextRegionNet(width=width).apply(params, images))
 
 
 @partial(jax.jit, static_argnames=("width",))
 def recognize_forward(params, lines, width=32):
+    if lines.dtype == jnp.uint8:
+        lines = lines.astype(jnp.float32) / 255.0
     return CTCRecognizer(width=width).apply(params, lines)
 
 
@@ -159,9 +164,7 @@ class JaxOCR:
 
         if len(images) == 0:
             return []
-        det_in = np.stack([
-            cv2.resize(im, (DET_SIZE, DET_SIZE)) for im in images
-        ]).astype(np.float32) / 255.0
+        det_in = np.stack([cv2.resize(im, (DET_SIZE, DET_SIZE)) for im in images])
         probs_maps = np.asarray(
             detect_forward(self.det_params, jnp.asarray(det_in), width=self.det_width)
         )
@@ -178,7 +181,7 @@ class JaxOCR:
                 if crop.size == 0:
                     continue
                 gray = cv2.cvtColor(crop, cv2.COLOR_RGB2GRAY)
-                lines.append(cv2.resize(gray, (LINE_W, LINE_H)).astype(np.float32) / 255.0)
+                lines.append(cv2.resize(gray, (LINE_W, LINE_H)))
                 line_meta.append((fi, (px, py, pw, ph)))
 
         out: List[List[Dict[str, Any]]] = [[] for _ in images]

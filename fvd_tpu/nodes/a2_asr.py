@@ -32,7 +32,12 @@ def run(
         print(f"A2: audio file not found at {audio_path}")
         return {}
 
-    result = providers.asr.transcribe(audio_path)
+    # A1 leaves its resampled output device-resident; providers that take
+    # the in-memory audio skip the file re-read and the host->HBM upload.
+    try:
+        result = providers.asr.transcribe(audio_path, audio=state.get("audio_16k"))
+    except TypeError:
+        result = providers.asr.transcribe(audio_path)
     if result is None:
         print("A2: no ASR backend available; skipping transcription.")
         return {}

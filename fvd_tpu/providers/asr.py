@@ -17,8 +17,9 @@ import numpy as np
 
 
 class ASRProvider(Protocol):
-    def transcribe(self, audio_path: str) -> Optional[Dict[str, Any]]:
-        """Whisper-shaped result or None when unavailable."""
+    def transcribe(self, audio_path: str, audio=None) -> Optional[Dict[str, Any]]:
+        """Whisper-shaped result (``audio``: optional in-memory 16 kHz
+        samples that skip the file read) or None when unavailable."""
         ...
 
     @property
@@ -28,7 +29,7 @@ class ASRProvider(Protocol):
 class NullASR:
     model_name = "null"
 
-    def transcribe(self, audio_path: str) -> Optional[Dict[str, Any]]:
+    def transcribe(self, audio_path: str, audio=None) -> Optional[Dict[str, Any]]:
         return None
 
 
@@ -39,7 +40,7 @@ class ScriptedASR:
         self.text = text
         self.segments = segments if segments is not None else []
 
-    def transcribe(self, audio_path: str) -> Optional[Dict[str, Any]]:
+    def transcribe(self, audio_path: str, audio=None) -> Optional[Dict[str, Any]]:
         return {"text": self.text, "segments": self.segments}
 
 
@@ -57,17 +58,20 @@ class EnergyVAD:
         self.threshold_ratio = threshold_ratio
         self.min_gap_s = min_gap_s
 
-    def transcribe(self, audio_path: str) -> Optional[Dict[str, Any]]:
+    def transcribe(self, audio_path: str, audio=None) -> Optional[Dict[str, Any]]:
         import jax.numpy as jnp
 
         from fvd_tpu.ops.spectral import rms_envelope
         from fvd_tpu.utils.wav import read_wav, to_mono
 
-        try:
-            samples, sr = read_wav(audio_path)
-        except Exception:
-            return None
-        y = jnp.asarray(to_mono(samples), jnp.float32)
+        sr = 16000
+        if audio is None:
+            try:
+                samples, sr = read_wav(audio_path)
+            except Exception:
+                return None
+            audio = to_mono(samples)
+        y = jnp.asarray(audio, jnp.float32)
         hop = max(int(sr * self.frame_s), 1)
         env = np.asarray(rms_envelope(y, frame_length=2 * hop, hop=hop))
         if env.size == 0:

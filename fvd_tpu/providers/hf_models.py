@@ -211,14 +211,20 @@ class HFWhisperASR:
         out[0, :m, :t] = mel[:t, :m].T
         return out
 
-    def transcribe(self, audio_path: str) -> Optional[Dict[str, Any]]:
+    def transcribe(self, audio_path: str, audio=None) -> Optional[Dict[str, Any]]:
         from fvd_tpu.utils.wav import read_wav, to_mono
 
-        try:
-            samples, sr = read_wav(audio_path)
-        except Exception:
-            return None
-        audio = to_mono(samples)
+        sr = 16000
+        if audio is None:
+            try:
+                samples, sr = read_wav(audio_path)
+            except Exception:
+                return None
+            audio = to_mono(samples)
+        else:
+            import numpy as _np
+
+            audio = _np.asarray(audio)
         chunk = int(self.chunk_s * sr)
         segments: List[dict] = []
         texts: List[str] = []

@@ -27,6 +27,8 @@ def main() -> int:
     ap.add_argument("--video", help="profile a real video instead of synthetic")
     ap.add_argument("--trace", help="directory for a jax.profiler trace")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--models", action="store_true",
+                    help="real-model path: face video + trained checkpoints")
     args = ap.parse_args()
 
     import jax
@@ -44,19 +46,37 @@ def main() -> int:
     from fvd_tpu.synthetic import hermetic_providers, make_synthetic_video
 
     print(f"backend: {jax.default_backend()}")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if args.video:
         video = os.path.abspath(args.video)
     else:
         os.chdir(tempfile.mkdtemp(prefix="fvd_profile_"))
-        video = make_synthetic_video(
-            "media", duration=args.duration, fps=args.fps,
-            width=args.width, height=args.height,
-        )
+        if args.models:
+            from fvd_tpu.synthetic import make_face_video
+
+            video = make_face_video(
+                "media", duration=args.duration, fps=args.fps,
+                width=args.width, height=args.height,
+            )
+        else:
+            video = make_synthetic_video(
+                "media", duration=args.duration, fps=args.fps,
+                width=args.width, height=args.height,
+            )
 
     config = dataclasses.replace(
         default_config(), evidence=EvidenceConfig(rate_limit_s=0.0, max_workers=4)
     )
-    dag = build_graph(config, hermetic_providers(fps=args.fps))
+    if args.models:
+        from fvd_tpu.providers.factory import production_providers
+
+        providers = production_providers(
+            checkpoint_dir=os.path.join(repo_root, "checkpoints"),
+            use_llm=False, use_search=False,
+        )
+    else:
+        providers = hermetic_providers(fps=args.fps)
+    dag = build_graph(config, providers)
 
     print("warmup (compiling)...")
     t0 = time.perf_counter()
