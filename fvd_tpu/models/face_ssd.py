@@ -149,6 +149,8 @@ class SSDFaceDetector:
     """FaceDetectorProvider wrapper: batched jit forward + host unpacking."""
 
     model_name = "fvd_tpu_ssd"
+    #: nodes may pass an HBM-resident frame tensor instead of host numpy
+    accepts_device_frames = True
 
     def __init__(self, params=None, width: int = 32, max_out: int = 32,
                  checkpoint: Optional[str] = None):

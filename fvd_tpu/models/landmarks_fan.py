@@ -200,6 +200,8 @@ class FANLandmarks:
     """
 
     model_name = "fvd_tpu_hourglass"
+    #: the inner detector forward can consume an HBM-resident frame tensor
+    accepts_device_frames = True
 
     def __init__(self, face_detector, landmark_params=None, pose_params=None,
                  width: int = 64, pose_width: int = 32,
@@ -213,10 +215,16 @@ class FANLandmarks:
         self.pose_width = pose_width
         self.detector_threshold = detector_threshold
 
-    def landmarks_batch(self, frames: np.ndarray) -> List[List[np.ndarray]]:
+    def landmarks_batch(self, frames: np.ndarray,
+                        device_frames=None) -> List[List[np.ndarray]]:
+        """``device_frames``: HBM-resident copy of ``frames`` — the detector
+        forward consumes it directly, skipping a second host->HBM upload of
+        the full frame batch (crops stay host-side where the frames already
+        live)."""
         import cv2
 
-        detections = self.face_detector.detect_batch(frames)
+        detections = self.face_detector.detect_batch(
+            frames if device_frames is None else device_frames)
         crops, owners, boxes = [], [], []
         for i, (frame, dets) in enumerate(zip(frames, detections)):
             h, w = frame.shape[:2]

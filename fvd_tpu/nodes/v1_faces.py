@@ -146,13 +146,30 @@ def run(
     # Stream keyframes in bounded chunks; one batched detector forward per
     # chunk (the keyframe grid is coarse, but an hour of HD footage is still
     # thousands of full-res frames — memory must not scale with duration).
-    from fvd_tpu.providers.media import StreamingSampler
+    from fvd_tpu.providers.media import StreamingSampler, device_frames_for
 
     chunk_size = config.landmarks.stream_chunk_frames
+    # HBM-resident frame tensor (north star): V1 runs first in the V-branch,
+    # so it uploads the UNION of its 1 fps grid and the V3/V4 sampling grid
+    # once; downstream nodes consume device-side gathers instead of
+    # re-uploading 30+ MB per node. Only for videos that fit one chunk —
+    # longer ones keep the bounded streaming path.
+    use_device = detector is not None and getattr(
+        detector, "accepts_device_frames", False)
+    if use_device and meta.fps:
+        lmk_stride = max(1, int(round(meta.fps / config.landmarks.sample_fps)))
+        union_ids = sorted(set(frame_ids) | set(range(0, meta.frame_count, lmk_stride)))
+        if len(union_ids) <= chunk_size:
+            union_frames, union_kept = reader.sample(video_path, union_ids)
+            if len(union_kept) > 0:
+                device_frames_for(video_path, union_kept, union_frames)
+
     for frames, kept_ids in StreamingSampler(video_path, frame_ids,
                                              chunk_size=chunk_size):
         if detector is not None:
-            detections_per_frame = detector.detect_batch(frames)
+            dev = device_frames_for(video_path, kept_ids) if use_device else None
+            detections_per_frame = detector.detect_batch(
+                dev if dev is not None else frames)
         else:
             detections_per_frame = [[] for _ in kept_ids]
         _process_chunk(frames, kept_ids, detections_per_frame, meta, cfg,

@@ -27,6 +27,7 @@ from fvd_tpu.providers.media import (
     IncrementalVideoWriter,
     StreamingSampler,
     VideoReader,
+    device_frames_for,
     shared_landmarks,
 )
 from fvd_tpu.runtime.debug import dump_node_debug
@@ -86,9 +87,13 @@ def run(
     try:
         for frames, kept_ids in StreamingSampler(video_path, sample_ids,
                                                  chunk_size=cfg.stream_chunk_frames):
-            # ONE batched landmark forward per chunk, shared with V4.
+            # ONE batched landmark forward per chunk, shared with V4; the
+            # detector inside consumes the HBM-resident tensor V1 uploaded.
+            dev = (device_frames_for(video_path, kept_ids, frames)
+                   if getattr(providers.landmarks, "accepts_device_frames", False)
+                   else None)
             all_landmarks = shared_landmarks(video_path, kept_ids,
-                                             providers.landmarks, frames)
+                                             providers.landmarks, frames, dev)
 
             T = len(kept_ids)
             times = np.array(

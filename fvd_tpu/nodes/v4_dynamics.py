@@ -28,6 +28,7 @@ from fvd_tpu.providers.media import (
     IncrementalVideoWriter,
     StreamingSampler,
     VideoReader,
+    device_frames_for,
     shared_landmarks,
 )
 from fvd_tpu.runtime.debug import dump_node_debug
@@ -98,8 +99,11 @@ def run(
         for frames, kept_ids in StreamingSampler(video_path, sample_ids,
                                                  chunk_size=cfg.stream_chunk_frames):
             # Shared with V3's identical forward over the same sampled frames.
+            dev = (device_frames_for(video_path, kept_ids, frames)
+                   if getattr(providers.landmarks, "accepts_device_frames", False)
+                   else None)
             all_landmarks = shared_landmarks(video_path, kept_ids,
-                                             providers.landmarks, frames)
+                                             providers.landmarks, frames, dev)
 
             T = len(kept_ids)
             times = np.array(

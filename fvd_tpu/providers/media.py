@@ -127,7 +127,8 @@ class _LandmarkShare:
         self._global = threading.Lock()
         self.max_entries = max_entries
 
-    def get(self, path: str, ids: Sequence[int], provider, frames: np.ndarray):
+    def get(self, path: str, ids: Sequence[int], provider, frames: np.ndarray,
+            device_frames=None):
         # full ids in the key (same first/last/len with different interiors
         # must not collide); the cached entry keeps a strong ref to the
         # provider so a recycled id() can never alias a dead provider's
@@ -141,7 +142,10 @@ class _LandmarkShare:
             with self._global:
                 if key in self._results:
                     return self._results[key][1]
-            result = provider.landmarks_batch(frames)
+            try:
+                result = provider.landmarks_batch(frames, device_frames=device_frames)
+            except TypeError:
+                result = provider.landmarks_batch(frames)
             with self._global:
                 self._results[key] = (provider, result)
                 self._order.append(key)
@@ -161,17 +165,89 @@ class _LandmarkShare:
 _landmark_share = _LandmarkShare()
 
 
-def shared_landmarks(path: str, ids: Sequence[int], provider, frames: np.ndarray):
+class _DeviceFrameCache:
+    """One HBM-resident uint8 frame tensor per (video, sample grid).
+
+    The north-star design (BASELINE.json): decode once on host, upload once,
+    and let every V-node consume device-side slices. V1 uploads the union
+    sampling grid; V3/V4 (and any other consumer of a subset grid) get their
+    frames via an on-device gather instead of a second 30+ MB host->HBM
+    transfer — the dominant per-video cost behind a slow host link.
+    """
+
+    def __init__(self, max_bytes: int = 1 << 30):
+        import threading
+
+        self._entries: "dict[str, list]" = {}  # path -> [(ids_tuple, dev_array)]
+        self._order: List[tuple] = []  # (path, ids_tuple) LRU
+        self._lock = threading.Lock()
+        self.max_bytes = max_bytes
+
+    def get(self, path: str, ids: Sequence[int], frames_host=None):
+        """Device frames for ``ids`` of ``path`` or None.
+
+        Served from an exact entry, gathered on device from a superset
+        entry, or uploaded from ``frames_host`` when provided.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        ids_t = tuple(int(i) for i in ids)
+        if not ids_t:
+            return None
+        with self._lock:
+            for eids, arr in self._entries.get(path, []):
+                if eids == ids_t:
+                    return arr
+                eset = dict((fid, i) for i, fid in enumerate(eids))
+                if all(fid in eset for fid in ids_t):
+                    pos = jnp.asarray([eset[fid] for fid in ids_t])
+                    return jnp.take(arr, pos, axis=0)
+            if frames_host is None or len(frames_host) != len(ids_t):
+                return None
+            dev = jax.device_put(np.ascontiguousarray(frames_host))
+            self._entries.setdefault(path, []).append((ids_t, dev))
+            self._order.append((path, ids_t))
+            self._evict_locked()
+            return dev
+
+    def _evict_locked(self) -> None:
+        def total() -> int:
+            return sum(arr.nbytes for es in self._entries.values() for _, arr in es)
+
+        while total() > self.max_bytes and len(self._order) > 1:
+            path, ids_t = self._order.pop(0)
+            self._entries[path] = [
+                (e, a) for e, a in self._entries.get(path, []) if e != ids_t
+            ]
+
+    def clear(self) -> None:
+        with self._lock:
+            self._entries.clear()
+            self._order.clear()
+
+
+_device_frames = _DeviceFrameCache()
+
+
+def device_frames_for(path: str, ids: Sequence[int], frames_host=None):
+    """HBM-resident frames for a sample grid (see _DeviceFrameCache)."""
+    return _device_frames.get(path, ids, frames_host)
+
+
+def shared_landmarks(path: str, ids: Sequence[int], provider, frames: np.ndarray,
+                     device_frames=None):
     """Landmark forward for ``frames`` (sampled ``ids`` of ``path``), shared
     across concurrently-running nodes."""
     if len(ids) == 0:
         return []
-    return _landmark_share.get(path, ids, provider, frames)
+    return _landmark_share.get(path, ids, provider, frames, device_frames)
 
 
 def clear_frame_cache() -> None:
     _frame_cache.clear()
     _landmark_share.clear()
+    _device_frames.clear()
 
 
 class VideoReader:

@@ -183,10 +183,12 @@ class SyntheticLandmarks:
         self.gate_hz = gate_hz
         self._call = 0
 
-    def landmarks_batch(self, frames: np.ndarray) -> List[List[np.ndarray]]:
+    def landmarks_batch(self, frames: np.ndarray,
+                        device_frames=None) -> List[List[np.ndarray]]:
         """One vectorized pass over the batch (same arithmetic, same values,
         as the original per-frame formulation — the chunked-streaming and
-        golden lip-sync tests pin the outputs)."""
+        golden lip-sync tests pin the outputs). ``device_frames`` is unused:
+        this fixture computes on host."""
         frames = np.asarray(frames)
         if frames.dtype != np.uint8:  # the mouth-strip range check is uint8
             frames = np.clip(frames, 0, 255).astype(np.uint8)
