@@ -188,6 +188,55 @@ def pose_forward(params, crops: jax.Array, width: int = 32) -> jax.Array:
     return euler_from_matrix_deg(rotation_6d_to_matrix(d6))
 
 
+def _device_crops(frames_dev: jax.Array, boxes: jax.Array, owners: jax.Array) -> jax.Array:
+    """Gather + resize face crops ON DEVICE from the HBM-resident frame
+    tensor: [T,H,W,3] uint8 + [N,4] px boxes + [N] owner ids -> float crops
+    [N, CROP_SIZE, CROP_SIZE, 3] in 0..1. Replicates cv2's half-pixel
+    mapping (dst o -> src (o+0.5)/scale - 0.5): scale = crop/(extent),
+    translation = -origin*scale."""
+    imgs = jnp.take(frames_dev, owners, axis=0).astype(jnp.float32)
+
+    def one(img, box):
+        x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+        sy = CROP_SIZE / jnp.maximum(y2 - y1, 1.0)
+        sx = CROP_SIZE / jnp.maximum(x2 - x1, 1.0)
+        return jax.image.scale_and_translate(
+            img, (CROP_SIZE, CROP_SIZE, 3), (0, 1),
+            jnp.stack([sy, sx]), jnp.stack([-y1 * sy, -x1 * sx]),
+            method="linear", antialias=False,
+        )
+
+    return jax.vmap(one)(imgs, boxes) / 255.0
+
+
+@partial(jax.jit, static_argnames=("width", "compute_dtype"))
+def landmarks_from_frames(params, frames_dev, boxes, owners, width: int = 64,
+                          compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Fused device program: crop from the frame tensor + hourglass forward.
+    No crop bytes ever cross the host link."""
+    x = _device_crops(frames_dev, boxes, owners)
+    cast_params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
+    hm = LandmarkHourglass(width=width).apply(cast_params, x.astype(compute_dtype))
+    return decode_heatmaps(hm.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("width",))
+def pose_from_frames(params, frames_dev, boxes, owners, width: int = 32) -> jax.Array:
+    """Fused device program: crop + 6D pose head."""
+    x = _device_crops(frames_dev, boxes, owners)
+    d6 = PoseHead(width=width).apply(params, x)
+    return euler_from_matrix_deg(rotation_6d_to_matrix(d6))
+
+
+def _pad_bucket(n: int) -> int:
+    """Static shape bucket (next power of two, >= 8) so varying face counts
+    don't recompile the fused programs."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
 # ---------------------------------------------------------------------------
 # Provider wrapper: detector-guided landmarks over full frames
 # ---------------------------------------------------------------------------
@@ -225,7 +274,7 @@ class FANLandmarks:
 
         detections = self.face_detector.detect_batch(
             frames if device_frames is None else device_frames)
-        crops, owners, boxes = [], [], []
+        owners, boxes = [], []
         for i, (frame, dets) in enumerate(zip(frames, detections)):
             h, w = frame.shape[:2]
             for d in dets:
@@ -235,16 +284,36 @@ class FANLandmarks:
                 x2, y2 = min(w, int(d.x2)), min(h, int(d.y2))
                 if x2 - x1 < 4 or y2 - y1 < 4:
                     continue
-                crops.append(cv2.resize(frame[y1:y2, x1:x2], (CROP_SIZE, CROP_SIZE)))
                 owners.append(i)
                 boxes.append((x1, y1, x2, y2))
         out: List[List[np.ndarray]] = [[] for _ in range(len(frames))]
-        if not crops:
+        if not boxes:
             return out
-        coords = np.asarray(
-            landmarks_forward(self.landmark_params, jnp.asarray(np.stack(crops)),
-                              width=self.width)
-        )
+        if device_frames is not None:
+            # crops gathered on device from the HBM-resident tensor: zero
+            # crop bytes over the host link
+            n = len(boxes)
+            pad = _pad_bucket(n)
+            boxes_arr = np.zeros((pad, 4), np.float32)
+            boxes_arr[:n] = np.asarray(boxes, np.float32)
+            boxes_arr[n:] = [0, 0, CROP_SIZE, CROP_SIZE]
+            owners_arr = np.zeros(pad, np.int32)
+            owners_arr[:n] = owners
+            coords = np.asarray(
+                landmarks_from_frames(self.landmark_params, device_frames,
+                                      jnp.asarray(boxes_arr),
+                                      jnp.asarray(owners_arr), width=self.width)
+            )[:n]
+        else:
+            crops = [
+                cv2.resize(frame[y1:y2, x1:x2], (CROP_SIZE, CROP_SIZE))
+                for (x1, y1, x2, y2), i in zip(boxes, owners)
+                for frame in (frames[i],)
+            ]
+            coords = np.asarray(
+                landmarks_forward(self.landmark_params, jnp.asarray(np.stack(crops)),
+                                  width=self.width)
+            )
         for (x1, y1, x2, y2), owner, c in zip(boxes, owners, coords):
             pts = np.stack(
                 [x1 + c[:, 0] * (x2 - x1), y1 + c[:, 1] * (y2 - y1)], axis=1
@@ -258,6 +327,24 @@ class FANLandmarks:
         return np.asarray(
             pose_forward(self.pose_params, jnp.asarray(crops), width=self.pose_width)
         )
+
+    def pose_boxes_batch(self, device_frames, boxes, owners) -> np.ndarray:
+        """Pose for ``boxes`` (px) of ``owners`` rows of the device frame
+        tensor — crop + forward fused on device."""
+        n = len(boxes)
+        if n == 0:
+            return np.zeros((0, 3))
+        pad = _pad_bucket(n)
+        boxes_arr = np.zeros((pad, 4), np.float32)
+        boxes_arr[:n] = np.asarray(boxes, np.float32)
+        boxes_arr[n:] = [0, 0, CROP_SIZE, CROP_SIZE]
+        owners_arr = np.zeros(pad, np.int32)
+        owners_arr[:n] = owners
+        return np.asarray(
+            pose_from_frames(self.pose_params, device_frames,
+                             jnp.asarray(boxes_arr), jnp.asarray(owners_arr),
+                             width=self.pose_width)
+        )[:n]
 
 
 # ---------------------------------------------------------------------------

@@ -125,22 +125,36 @@ def run(
                     valid[i] = True
                     crop_boxes[i] = list(tracker.active_box)  # already padded
 
-            # Pose: ONE batched forward per chunk (v4:267-287).
+            # Pose: ONE batched forward per chunk (v4:267-287); with the
+            # HBM-resident tensor the crops are gathered on device (zero
+            # crop bytes over the host link).
             raw_pose = np.zeros((T, 3), np.float64)
             pose_valid = np.zeros(T, bool)
-            crops, usable = [], []
+            pose_boxes_fn = (getattr(providers.landmarks, "pose_boxes_batch", None)
+                             if dev is not None else None)
+            boxes, crops, usable = [], [], []
             for i in range(T):
                 if valid[i] and crop_boxes[i] is not None:
                     x1, y1, x2, y2 = crop_boxes[i]
-                    crop = frames[i][y1:y2, x1:x2]
-                    if crop.size > 0:
-                        crops.append(_resize_crop(crop, cfg.crop_size))
+                    if x2 <= x1 or y2 <= y1:
+                        continue
+                    if pose_boxes_fn is not None:
+                        boxes.append((x1, y1, x2, y2))
                         usable.append(i)
-            if crops:
+                    else:
+                        crop = frames[i][y1:y2, x1:x2]
+                        if crop.size > 0:
+                            crops.append(_resize_crop(crop, cfg.crop_size))
+                            usable.append(i)
+            if pose_boxes_fn is not None and boxes:
+                poses = np.asarray(pose_boxes_fn(dev, boxes, usable))
+            elif crops:
                 poses = np.asarray(providers.landmarks.pose_batch(np.stack(crops)))
-                for i, p in zip(usable, poses):
-                    raw_pose[i] = p  # (pitch, yaw, roll)
-                    pose_valid[i] = True
+            else:
+                poses = []
+            for i, p in zip(usable, poses):
+                raw_pose[i] = p  # (pitch, yaw, roll)
+                pose_valid[i] = True
 
             # Both smoothing scans + EAR, one chunk-resumable dispatch.
             sm_lm, sm_ears, sm_pose, lm_carry, pose_carry = v4_smooth_chunk(
