@@ -44,15 +44,6 @@ def parse_frame_id(path: str) -> int:
     return -1
 
 
-def _load_image(path: str) -> Optional[np.ndarray]:
-    if not os.path.exists(path):
-        return None
-    import cv2
-
-    bgr = cv2.imread(path)
-    return cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB) if bgr is not None else None
-
-
 def _encode_jpeg(rgb: np.ndarray) -> bytes:
     import cv2
 
@@ -84,8 +75,11 @@ def run(
     # Gather every (keyframe, matched segment) pair first, then score the
     # whole set in ONE device program; only the genuinely ambiguous band
     # escalates to the per-frame LLM fallback (c2:126-171 semantics).
+    from fvd_tpu.providers.media import cached_keyframe_images
+
     candidates: List[tuple] = []  # (frame_id, timestamp, text, image)
-    for kf_path in keyframes:
+    images = cached_keyframe_images(keyframes)
+    for kf_path, image in zip(keyframes, images):
         frame_id = parse_frame_id(kf_path)
         if frame_id == -1:
             continue
@@ -93,7 +87,6 @@ def run(
         matched = find_closest_segment(timestamp, segments, cfg.segment_tolerance_s)
         if not matched:
             continue
-        image = _load_image(kf_path)
         if image is None:
             continue
         candidates.append((frame_id, timestamp, matched["text"], image))

@@ -23,17 +23,6 @@ from fvd_tpu.runtime.debug import dump_node_debug
 from fvd_tpu.state import State, StateDelta
 
 
-def _load_image(path: str) -> Optional[np.ndarray]:
-    if not os.path.exists(path):
-        return None
-    import cv2
-
-    bgr = cv2.imread(path)
-    if bgr is None:
-        return None
-    return cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-
-
 def run(
     state: State,
     config: Config = default_config(),
@@ -45,8 +34,10 @@ def run(
         print("V2: no keyframes found; skipping OCR.")
         return {}
 
-    loaded = [(kf, _load_image(kf)) for kf in keyframes]
-    loaded = [(kf, im) for kf, im in loaded if im is not None]
+    from fvd_tpu.providers.media import cached_keyframe_images
+
+    loaded = [(kf, im) for kf, im in zip(keyframes, cached_keyframe_images(keyframes))
+              if im is not None]
 
     # One batched forward for the whole keyframe set when the provider
     # supports it (JaxOCR: 2 device programs total vs 2 per frame).

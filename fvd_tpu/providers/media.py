@@ -244,6 +244,34 @@ def shared_landmarks(path: str, ids: Sequence[int], provider, frames: np.ndarray
     return _landmark_share.get(path, ids, provider, frames, device_frames)
 
 
+def cached_keyframe_images(paths: Sequence[str]) -> List[Optional[np.ndarray]]:
+    """Raw frames for V1's keyframe artifacts (``<dir>/keyframes/frame_<id>.jpg``).
+
+    Served from the host frame cache when the source video's decoded frames
+    are still resident — no JPEG decode, no compression artifacts; falls
+    back to reading the file. V2/C2 consume every keyframe per video, so
+    this drops ~30 JPEG decodes per node per video on the 1-core host.
+    """
+    out: List[Optional[np.ndarray]] = []
+    for p in paths:
+        frame = None
+        base = os.path.basename(p)
+        digits = [t for t in base.replace(".", "_").split("_") if t.isdigit()]
+        if digits:
+            fid = int(digits[0])
+            video = os.path.join(os.path.dirname(os.path.dirname(p)), "video.mp4")
+            found, _ = _frame_cache.lookup(video, [fid])
+            frame = found.get(fid)
+        if frame is None and os.path.exists(p):
+            import cv2
+
+            bgr = cv2.imread(p)
+            if bgr is not None:
+                frame = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        out.append(frame)
+    return out
+
+
 def clear_frame_cache() -> None:
     _frame_cache.clear()
     _landmark_share.clear()
