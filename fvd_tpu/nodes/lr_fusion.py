@@ -31,11 +31,27 @@ def _safe_float(val, default=0.0):
         return default
 
 
+def _pretrained_weights_path() -> str:
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, "assets", "lr_weights_pretrained.json")
+
+
 def load_weights(path: str) -> Dict[str, float]:
     """Tolerant weight loading (reference lr_node.py:17-25): missing file or
-    malformed JSON -> empty dict (all-zero weights)."""
+    malformed JSON -> empty dict (all-zero weights).
+
+    When no local weights file exists yet, falls back to the shipped
+    pretrained weights (the reference repo ships its trained
+    ``lr_weights.json``; a fresh checkout scores with them rather than the
+    all-zero p=0.5). Online SGD still writes updates to ``path``, which then
+    takes precedence.
+    """
     if not os.path.exists(path):
-        return {}
+        pre = _pretrained_weights_path()
+        if os.path.basename(path) == "lr_weights.json" and os.path.exists(pre):
+            path = pre
+        else:
+            return {}
     try:
         with open(path) as f:
             data = json.load(f)

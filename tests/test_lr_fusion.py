@@ -204,8 +204,27 @@ def test_debug_json_recovery_paths(tmp_path):
     assert feats["texture"] == pytest.approx(0.77)
 
 
-def test_missing_weights_file_gives_half(tmp_cwd):
+def test_missing_weights_file_uses_shipped_pretrained(tmp_cwd):
+    """A fresh checkout scores with the shipped pretrained weights (the
+    reference repo ships its trained lr_weights.json); all-zero features ->
+    sigmoid(pretrained bias)."""
+    import math
+
     state = State(input_path="y.mp4")
     delta = lr_fusion.run(state)
-    # all-zero weights, all-zero features -> sigmoid(0) = 0.5
+    expected = 1.0 / (1.0 + math.exp(-WEIGHTS["bias"]))
+    assert delta["fake_probability"] == pytest.approx(expected)
+
+
+def test_missing_weights_custom_path_gives_half(tmp_cwd):
+    """A non-default weights path has no pretrained fallback: all-zero
+    weights -> sigmoid(0) = 0.5."""
+    import dataclasses
+
+    from fvd_tpu.config import default_config
+
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, fusion=dataclasses.replace(cfg.fusion, weights_path="custom_w.json"))
+    delta = lr_fusion.run(State(input_path="y.mp4"), config=cfg)
     assert delta["fake_probability"] == 0.5
