@@ -26,16 +26,27 @@ def random_text(rng: np.random.RandomState, min_len=3, max_len=12) -> str:
 
 
 def render_line(rng: np.random.RandomState, text: str) -> np.ndarray:
-    """Render one text line -> float [LINE_H, LINE_W, 1] in 0..1."""
+    """Render one text line -> float [LINE_H, LINE_W, 1] in 0..1.
+
+    Matches the inference path (ocr.py read_text_batch): text is rendered at
+    an arbitrary scale/thickness, then the tight region crop is resized to
+    the recognizer's line shape — so the model sees the same stretch
+    statistics the detector's region boxes produce.
+    """
     import cv2
 
-    img = np.full((LINE_H, LINE_W), int(rng.randint(0, 80)), np.uint8)
+    scale = rng.uniform(0.45, 1.6)
+    thickness = int(rng.randint(1, 4))
+    (tw, th), baseline = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX,
+                                         scale, thickness)
+    mx, my = int(rng.randint(1, 8)), int(rng.randint(1, 8))
+    h, w = th + baseline + 2 * my, tw + 2 * mx
+    img = np.full((h, w), int(rng.randint(0, 80)), np.uint8)
     img = img + rng.randint(0, 25, img.shape).astype(np.uint8)
-    scale = rng.uniform(0.55, 0.8)
     color = int(rng.randint(180, 255))
-    x = rng.randint(2, 12)
-    y = rng.randint(LINE_H - 12, LINE_H - 4)
-    cv2.putText(img, text, (x, y), cv2.FONT_HERSHEY_SIMPLEX, scale, color, 2)
+    cv2.putText(img, text, (mx, my + th), cv2.FONT_HERSHEY_SIMPLEX, scale,
+                color, thickness)
+    img = cv2.resize(img, (LINE_W, LINE_H))
     return img.astype(np.float32)[..., None] / 255.0
 
 
@@ -62,12 +73,19 @@ def detector_sample(rng: np.random.RandomState) -> Tuple[np.ndarray, np.ndarray]
     mask = np.zeros((DET_SIZE, DET_SIZE), np.float32)
     for _ in range(rng.randint(1, 4)):
         text = random_text(rng, 4, 14)
-        scale = rng.uniform(0.5, 0.9)
-        ((tw, th), baseline) = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX, scale, 2)
+        scale = rng.uniform(0.4, 1.4)
+        thickness = int(rng.randint(1, 4))
+        ((tw, th), baseline) = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX,
+                                               scale, thickness)
+        if tw >= DET_SIZE - 6:
+            scale *= (DET_SIZE - 8) / tw
+            ((tw, th), baseline) = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX,
+                                                   scale, thickness)
         x = rng.randint(2, max(3, DET_SIZE - tw - 2))
         y = rng.randint(th + 2, DET_SIZE - baseline - 2)
         color = tuple(int(c) for c in rng.randint(170, 255, 3))
-        cv2.putText(img, text, (x, y), cv2.FONT_HERSHEY_SIMPLEX, scale, color, 2)
+        cv2.putText(img, text, (x, y), cv2.FONT_HERSHEY_SIMPLEX, scale, color,
+                    thickness)
         mask[max(0, y - th - 2) : min(DET_SIZE, y + baseline + 2),
              max(0, x - 2) : min(DET_SIZE, x + tw + 2)] = 1.0
     return img, mask

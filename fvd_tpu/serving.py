@@ -169,6 +169,19 @@ class ScoringService:
         self._w = jnp.asarray(w)
         self._b = jnp.asarray(b)
 
+        # Multi-chip: shard the request batch over every visible device
+        # (mesh axis "data"); XLA runs each micro-batch as one SPMD program
+        # across the slice. Single-chip keeps the plain jit path.
+        devices = jax.devices()
+        self._n_shards = len(devices)
+        if self._n_shards > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            self._mesh = Mesh(np.array(devices), ("data",))
+            self._batch_sharding = NamedSharding(self._mesh, PartitionSpec("data"))
+        else:
+            self._batch_sharding = None
+
         @partial(jax.jit, static_argnames=())
         def batch_program(mouth, audio, other, w, b):
             def one(m, a):
@@ -181,12 +194,21 @@ class ScoringService:
         self._program = batch_program
 
         def batch_fn(items: List[ScoreRequest]) -> List[Dict[str, float]]:
-            mouth = jnp.asarray(np.stack([i.mouth for i in items]), jnp.float32)
-            audio = jnp.asarray(np.stack([i.audio for i in items]), jnp.float32)
-            other = jnp.asarray(np.stack([i.other_feats for i in items]), jnp.float32)
+            n_req = len(items)
+            # batch must divide evenly across the mesh's data axis
+            if self._n_shards > 1 and n_req % self._n_shards:
+                items = items + [items[0]] * (self._n_shards - n_req % self._n_shards)
+            mouth = np.stack([i.mouth for i in items]).astype(np.float32)
+            audio = np.stack([i.audio for i in items]).astype(np.float32)
+            other = np.stack([i.other_feats for i in items]).astype(np.float32)
+            if self._batch_sharding is not None:
+                mouth, audio, other = (
+                    jax.device_put(x, self._batch_sharding)
+                    for x in (mouth, audio, other)
+                )
             probs, lips = self._program(mouth, audio, other, self._w, self._b)
-            probs = np.asarray(probs)
-            lips = np.asarray(lips)
+            probs = np.asarray(probs)[:n_req]
+            lips = np.asarray(lips)[:n_req]
             return [
                 {"fake_probability": float(p), "lip_sync_score": float(l)}
                 for p, l in zip(probs, lips)

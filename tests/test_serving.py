@@ -140,3 +140,22 @@ def test_microbatcher_close_fails_pending_cleanly():
     # submit after close fails immediately
     with pytest.raises(RuntimeError):
         mb.submit("c").result(timeout=1)
+
+
+def test_scoring_service_shards_over_mesh():
+    """Under the 8-virtual-device conftest the service runs each micro-batch
+    as one SPMD program over the data mesh axis; request counts that don't
+    divide the device count are padded internally and results stay exact."""
+    import jax
+
+    n, fps = 150, 30.0
+    svc = ScoringService(WEIGHTS, n=n, fps=fps, max_batch=16, max_wait_ms=5.0)
+    try:
+        assert svc._n_shards == jax.device_count()
+        reqs = [_request(i, n, fps, sync=(i % 2 == 0)) for i in range(3)]
+        results = [svc.score(r) for r in reqs]
+        for r, res in zip(reqs, results):
+            lip = float(lip_sync_score_xla(r.mouth, r.audio, fps).score)
+            assert res["lip_sync_score"] == pytest.approx(lip, abs=1e-5)
+    finally:
+        svc.close()
