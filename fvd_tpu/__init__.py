@@ -25,5 +25,34 @@ Design stance (not a port):
 
 __version__ = "0.1.0"
 
+
+def _enable_persistent_compile_cache() -> None:
+    """Cache compiled XLA programs across processes.
+
+    Every entry point (CLI, batch harness, bench, serving) re-traces the
+    same node programs; behind the axon tunnel a cold compile costs tens of
+    seconds per program.  The persistent cache turns every warmup after the
+    first process into a disk hit.  Opt out with FVD_TPU_NO_COMPILE_CACHE=1.
+    """
+    import os
+
+    if os.environ.get("FVD_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "fvd_tpu", "xla"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization; never fail import over it
+
+
+_enable_persistent_compile_cache()
+
 from fvd_tpu.state import State, StateDelta, merge_states  # noqa: F401
 from fvd_tpu.config import Config, default_config  # noqa: F401

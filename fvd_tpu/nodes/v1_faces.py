@@ -28,22 +28,21 @@ from fvd_tpu.runtime.debug import dump_node_debug
 from fvd_tpu.state import State, StateDelta
 
 
-def _save_jpeg(path: str, rgb: np.ndarray) -> None:
-    import cv2
-
-    cv2.imwrite(path, cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
-
-
 def _process_chunk(frames, kept_ids, detections_per_frame, meta, cfg,
                    frame_area, keyframes_dir, faces_dir,
-                   keyframes_paths, face_detections) -> None:
-    """Per-frame filtering/cropping/artifacts (v1:110-180 semantics)."""
+                   keyframes_paths, face_detections, writer) -> None:
+    """Per-frame filtering/cropping/artifacts (v1:110-180 semantics).
+
+    JPEG encodes go through the background ArtifactWriter so they overlap
+    the next chunk's decode + detector dispatch; the caller drains it before
+    returning the node delta.
+    """
     import os
 
     for frame, fid, dets in zip(frames, kept_ids, detections_per_frame):
         timestamp = fid / meta.fps
         keyframe_path = os.path.join(keyframes_dir, f"frame_{fid:06d}.jpg")
-        _save_jpeg(keyframe_path, frame)
+        writer.save_jpeg(keyframe_path, frame)
         keyframes_paths.append(keyframe_path)
 
         # Filter + clip (v1:118-141).
@@ -77,7 +76,7 @@ def _process_chunk(frames, kept_ids, detections_per_frame, meta, cfg,
             cy2 = min(meta.height, y + h + pad_h)
             crop = frame[cy1:cy2, cx1:cx2]
             face_path = os.path.join(faces_dir, f"face_{fid:06d}_{i}.jpg")
-            _save_jpeg(face_path, crop)
+            writer.save_jpeg(face_path, crop)
             detections_in_frame.append(
                 {
                     "bbox": {"x": x, "y": y, "w": w, "h": h},
@@ -164,6 +163,9 @@ def run(
             if len(union_kept) > 0:
                 device_frames_for(video_path, union_kept, union_frames)
 
+    from fvd_tpu.runtime.io_pool import ArtifactWriter
+
+    writer = ArtifactWriter()
     for frames, kept_ids in StreamingSampler(video_path, frame_ids,
                                              chunk_size=chunk_size):
         if detector is not None:
@@ -174,7 +176,8 @@ def run(
             detections_per_frame = [[] for _ in kept_ids]
         _process_chunk(frames, kept_ids, detections_per_frame, meta, cfg,
                        frame_area, keyframes_dir, faces_dir,
-                       keyframes_paths, face_detections)
+                       keyframes_paths, face_detections, writer)
+    writer.drain()  # artifact contract: files exist before the delta merges
 
     if not keyframes_paths:
         print("V1: no frames decoded.")

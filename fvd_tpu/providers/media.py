@@ -475,18 +475,24 @@ class StreamingSampler:
 
 
 class IncrementalVideoWriter:
-    """Append-as-you-go mp4 writer (viz artifacts for chunked processing)."""
+    """Append-as-you-go mp4 writer (viz artifacts for chunked processing).
+
+    Encoding happens on a dedicated background thread (runtime.io_pool): the
+    node thread hands off a drawn chunk and immediately returns to decode /
+    device dispatch; ``close()`` flushes and surfaces any encode failure.
+    """
 
     def __init__(self, path: str, fps: float):
+        from fvd_tpu.runtime.io_pool import AsyncFrameSink
+
         self.path = path
         self.fps = fps
         self._writer = None
+        self._sink = AsyncFrameSink(self._write_batch, self._release)
 
-    def append(self, frames_rgb: np.ndarray) -> None:
+    def _write_batch(self, frames_rgb: np.ndarray) -> None:
         import cv2
 
-        if len(frames_rgb) == 0:
-            return
         if self._writer is None:
             h, w = frames_rgb.shape[1:3]
             self._writer = cv2.VideoWriter(
@@ -495,10 +501,18 @@ class IncrementalVideoWriter:
         for f in frames_rgb:
             self._writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
 
-    def close(self) -> None:
+    def _release(self) -> None:
         if self._writer is not None:
             self._writer.release()
             self._writer = None
+
+    def append(self, frames_rgb: np.ndarray) -> None:
+        if len(frames_rgb) == 0:
+            return
+        self._sink.append(frames_rgb)
+
+    def close(self) -> None:
+        self._sink.close()
 
 
 def write_video(path: str, frames: np.ndarray, fps: float) -> None:

@@ -1,0 +1,116 @@
+"""Background artifact-write pool.
+
+The reference writes every keyframe/crop JPEG and viz-video frame inline in
+its per-frame Python loops (``v1:154-166``, ``v3:109-111,236``), serializing
+disk/encode work with model forwards.  Here artifact encoding runs on
+background threads: while a node thread is blocked on a TPU dispatch (which,
+behind the axon tunnel, is mostly network wait), the host core encodes the
+previous chunk's JPEGs.  Each node drains its writer before returning, so
+the on-disk artifact contract (files exist when the node's delta is merged)
+is unchanged.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Callable, List, Optional
+
+import numpy as np
+
+_pool_lock = threading.Lock()
+_pool: Optional[ThreadPoolExecutor] = None
+
+
+def _get_pool() -> ThreadPoolExecutor:
+    global _pool
+    with _pool_lock:
+        if _pool is None:
+            _pool = ThreadPoolExecutor(max_workers=2,
+                                       thread_name_prefix="fvd-artifact")
+        return _pool
+
+
+def _encode_jpeg(path: str, rgb: np.ndarray) -> None:
+    import cv2
+
+    cv2.imwrite(path, cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+
+
+class ArtifactWriter:
+    """Per-node handle onto the shared write pool.
+
+    ``save_jpeg`` returns immediately; ``drain()`` blocks until every queued
+    write for THIS writer finished and re-raises the first failure.  The
+    caller must not mutate submitted arrays (V-node chunks are read-only
+    decoded frames / fresh crops, so this holds).
+    """
+
+    def __init__(self) -> None:
+        self._futures: List[Future] = []
+
+    def save_jpeg(self, path: str, rgb: np.ndarray) -> None:
+        self._futures.append(_get_pool().submit(_encode_jpeg, path, rgb))
+
+    def submit(self, fn: Callable, *args) -> None:
+        self._futures.append(_get_pool().submit(fn, *args))
+
+    def drain(self) -> None:
+        err: Optional[BaseException] = None
+        for f in self._futures:
+            try:
+                f.result()
+            except BaseException as e:  # keep draining; report the first
+                if err is None:
+                    err = e
+        self._futures.clear()
+        if err is not None:
+            raise err
+
+
+class AsyncFrameSink:
+    """Dedicated-thread frame sink wrapping a blocking per-frame writer.
+
+    Used by the viz-video writers: ``append(batch)`` enqueues (bounded, so
+    memory stays capped at ``maxsize`` chunks) and a single worker thread
+    feeds the underlying encoder in order.  ``close()`` flushes, releases
+    the encoder, and re-raises any worker failure.
+    """
+
+    def __init__(self, write_batch: Callable[[np.ndarray], None],
+                 close_fn: Callable[[], None], maxsize: int = 4):
+        self._q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=maxsize)
+        self._write_batch = write_batch
+        self._close_fn = close_fn
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self) -> None:
+        while True:
+            batch = self._q.get()
+            try:
+                if batch is None:
+                    return
+                if self._error is None:
+                    self._write_batch(batch)
+            except BaseException as e:
+                self._error = e
+            finally:
+                self._q.task_done()
+
+    def append(self, batch: np.ndarray) -> None:
+        if len(batch):
+            self._q.put(batch)
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._thread.join()
+        try:
+            self._close_fn()
+        except BaseException as e:
+            if self._error is None:
+                self._error = e
+        if self._error is not None:
+            raise self._error
