@@ -38,6 +38,12 @@ def _enable_persistent_compile_cache() -> None:
 
     if os.environ.get("FVD_TPU_NO_COMPILE_CACHE"):
         return
+    # CPU-only processes (tests, local drives) skip the cache: XLA:CPU AOT
+    # cache entries warn about machine-feature mismatches on reload and the
+    # compiles they'd save are cheap anyway.  TPU programs — the tens-of-
+    # seconds compiles behind the axon tunnel — are the payoff.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
     try:
         import jax
 

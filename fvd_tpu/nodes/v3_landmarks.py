@@ -31,6 +31,7 @@ from fvd_tpu.providers.media import (
     shared_landmarks,
 )
 from fvd_tpu.runtime.debug import dump_node_debug
+from fvd_tpu.runtime.tracer import get_tracer
 from fvd_tpu.state import State, StateDelta
 
 
@@ -84,16 +85,24 @@ def run(
     n_pts = 68
     processed = 0
 
+    tracer = get_tracer()
     try:
-        for frames, kept_ids in StreamingSampler(video_path, sample_ids,
-                                                 chunk_size=cfg.stream_chunk_frames):
+        chunks = iter(StreamingSampler(video_path, sample_ids,
+                                       chunk_size=cfg.stream_chunk_frames))
+        while True:
+            with tracer.span("v3/decode"):
+                chunk = next(chunks, None)
+            if chunk is None:
+                break
+            frames, kept_ids = chunk
             # ONE batched landmark forward per chunk, shared with V4; the
             # detector inside consumes the HBM-resident tensor V1 uploaded.
-            dev = (device_frames_for(video_path, kept_ids, frames)
-                   if getattr(providers.landmarks, "accepts_device_frames", False)
-                   else None)
-            all_landmarks = shared_landmarks(video_path, kept_ids,
-                                             providers.landmarks, frames, dev)
+            with tracer.span("v3/landmark_fwd"):
+                dev = (device_frames_for(video_path, kept_ids, frames)
+                       if getattr(providers.landmarks, "accepts_device_frames", False)
+                       else None)
+                all_landmarks = shared_landmarks(video_path, kept_ids,
+                                                 providers.landmarks, frames, dev)
 
             T = len(kept_ids)
             times = np.array(
@@ -102,45 +111,57 @@ def run(
             )
             raw_track = np.zeros((T, n_pts, 2), np.float64)
             valid = np.zeros(T, bool)
-            for i, lm_list in enumerate(all_landmarks):
-                idx = tracker.select([np.asarray(lm)[:, :2] for lm in lm_list])
-                if idx != -1:
-                    raw_track[i] = np.asarray(lm_list[idx])[:n_pts, :2]
-                    valid[i] = True
+            with tracer.span("v3/track"):
+                for i, lm_list in enumerate(all_landmarks):
+                    idx = tracker.select([np.asarray(lm)[:, :2] for lm in lm_list])
+                    if idx != -1:
+                        raw_track[i] = np.asarray(lm_list[idx])[:n_pts, :2]
+                        valid[i] = True
 
             # Chunk-resumable OneEuro smoothing (v3:204-209 semantics).
-            sm, carry = one_euro_scan_chunk(
-                carry, times, raw_track, valid,
-                min_cutoff=cfg.landmark_min_cutoff, beta=cfg.landmark_beta,
-            )
-            smoothed = np.asarray(sm)
+            with tracer.span("v3/smooth"):
+                sm, carry = one_euro_scan_chunk(
+                    carry, times, raw_track, valid,
+                    min_cutoff=cfg.landmark_min_cutoff, beta=cfg.landmark_beta,
+                )
+                smoothed = np.asarray(sm)
 
-            viz_frames = []
-            for i, fid in enumerate(kept_ids):
-                frame_landmarks: List[List[float]] = []
-                frame = frames[i].copy()
-                if valid[i]:
-                    pts = smoothed[i]
-                    mouth_points = pts[48:68]
-                    if len(mouth_points) >= 20:
-                        frame_landmarks = mouth_points.tolist()
-                    try:
-                        import cv2
+            with tracer.span("v3/emit"):
+                for i, fid in enumerate(kept_ids):
+                    frame_landmarks: List[List[float]] = []
+                    if valid[i]:
+                        mouth_points = smoothed[i][48:68]
+                        if len(mouth_points) >= 20:
+                            frame_landmarks = mouth_points.tolist()
+                    mouth_landmarks_data.append(
+                        {"frame_id": int(fid), "timestamp": float(times[i]),
+                         "landmarks": frame_landmarks}
+                    )
 
+            # Annotation + encode run on the viz sink thread (io_pool):
+            # the node thread goes straight to the next chunk's decode +
+            # forward.  Inputs are chunk-local arrays never mutated again.
+            def draw_chunk(frames=frames, valid=valid, smoothed=smoothed,
+                           width=meta.width):
+                import cv2
+
+                batch = frames.copy()
+                for i in range(len(batch)):
+                    if not valid[i]:
+                        continue
+                    try:  # drawing failures never lose the frame (v3:129-134)
+                        pts = smoothed[i]
                         x1, y1, x2, y2 = landmark_box(pts)
-                        cv2.rectangle(frame, (x1, y1), (x2, y2), (0, 0, 255),
-                                      max(2, meta.width // 300))
-                        for (x, y) in mouth_points:
-                            cv2.circle(frame, (int(x), int(y)),
-                                       max(3, meta.width // 200), (0, 255, 0), -1)
+                        cv2.rectangle(batch[i], (x1, y1), (x2, y2), (0, 0, 255),
+                                      max(2, width // 300))
+                        for (x, y) in pts[48:68]:
+                            cv2.circle(batch[i], (int(x), int(y)),
+                                       max(3, width // 200), (0, 255, 0), -1)
                     except Exception:
                         pass
-                viz_frames.append(frame)
-                mouth_landmarks_data.append(
-                    {"frame_id": int(fid), "timestamp": float(times[i]),
-                     "landmarks": frame_landmarks}
-                )
-            viz.append(np.stack(viz_frames))
+                return batch
+
+            viz.append(draw_chunk)
             processed += T
     finally:
         viz.close()

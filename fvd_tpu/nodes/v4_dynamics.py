@@ -32,6 +32,7 @@ from fvd_tpu.providers.media import (
     shared_landmarks,
 )
 from fvd_tpu.runtime.debug import dump_node_debug
+from fvd_tpu.runtime.tracer import get_tracer
 from fvd_tpu.state import State, StateDelta
 
 
@@ -95,15 +96,23 @@ def run(
     head_pose_data: List[Dict[str, Any]] = []
     processed = 0
 
+    tracer = get_tracer()
     try:
-        for frames, kept_ids in StreamingSampler(video_path, sample_ids,
-                                                 chunk_size=cfg.stream_chunk_frames):
+        chunks = iter(StreamingSampler(video_path, sample_ids,
+                                       chunk_size=cfg.stream_chunk_frames))
+        while True:
+            with tracer.span("v4/decode"):
+                chunk = next(chunks, None)
+            if chunk is None:
+                break
+            frames, kept_ids = chunk
             # Shared with V3's identical forward over the same sampled frames.
-            dev = (device_frames_for(video_path, kept_ids, frames)
-                   if getattr(providers.landmarks, "accepts_device_frames", False)
-                   else None)
-            all_landmarks = shared_landmarks(video_path, kept_ids,
-                                             providers.landmarks, frames, dev)
+            with tracer.span("v4/landmark_fwd"):
+                dev = (device_frames_for(video_path, kept_ids, frames)
+                       if getattr(providers.landmarks, "accepts_device_frames", False)
+                       else None)
+                all_landmarks = shared_landmarks(video_path, kept_ids,
+                                                 providers.landmarks, frames, dev)
 
             T = len(kept_ids)
             times = np.array(
@@ -113,17 +122,18 @@ def run(
             raw_track = np.zeros((T, n_pts, dim), np.float64)
             valid = np.zeros(T, bool)
             crop_boxes: List[Optional[List[int]]] = [None] * T
-            for i, lm_list in enumerate(all_landmarks):
-                idx = tracker.select([np.asarray(lm)[:, :2] for lm in lm_list])
-                if idx != -1:
-                    lm = np.asarray(lm_list[idx], np.float64)
-                    if lm.shape[1] < dim:  # 2D provider: zero z
-                        lm = np.concatenate(
-                            [lm, np.zeros((lm.shape[0], dim - lm.shape[1]))], axis=1
-                        )
-                    raw_track[i] = lm[:n_pts]
-                    valid[i] = True
-                    crop_boxes[i] = list(tracker.active_box)  # already padded
+            with tracer.span("v4/track"):
+                for i, lm_list in enumerate(all_landmarks):
+                    idx = tracker.select([np.asarray(lm)[:, :2] for lm in lm_list])
+                    if idx != -1:
+                        lm = np.asarray(lm_list[idx], np.float64)
+                        if lm.shape[1] < dim:  # 2D provider: zero z
+                            lm = np.concatenate(
+                                [lm, np.zeros((lm.shape[0], dim - lm.shape[1]))], axis=1
+                            )
+                        raw_track[i] = lm[:n_pts]
+                        valid[i] = True
+                        crop_boxes[i] = list(tracker.active_box)  # already padded
 
             # Pose: ONE batched forward per chunk (v4:267-287); with the
             # HBM-resident tensor the crops are gathered on device (zero
@@ -132,69 +142,81 @@ def run(
             pose_valid = np.zeros(T, bool)
             pose_boxes_fn = (getattr(providers.landmarks, "pose_boxes_batch", None)
                              if dev is not None else None)
-            boxes, crops, usable = [], [], []
-            for i in range(T):
-                if valid[i] and crop_boxes[i] is not None:
-                    x1, y1, x2, y2 = crop_boxes[i]
-                    if x2 <= x1 or y2 <= y1:
-                        continue
-                    if pose_boxes_fn is not None:
-                        boxes.append((x1, y1, x2, y2))
-                        usable.append(i)
-                    else:
-                        crop = frames[i][y1:y2, x1:x2]
-                        if crop.size > 0:
-                            crops.append(_resize_crop(crop, cfg.crop_size))
+            with tracer.span("v4/pose_fwd"):
+                boxes, crops, usable = [], [], []
+                for i in range(T):
+                    if valid[i] and crop_boxes[i] is not None:
+                        x1, y1, x2, y2 = crop_boxes[i]
+                        if x2 <= x1 or y2 <= y1:
+                            continue
+                        if pose_boxes_fn is not None:
+                            boxes.append((x1, y1, x2, y2))
                             usable.append(i)
-            if pose_boxes_fn is not None and boxes:
-                poses = np.asarray(pose_boxes_fn(dev, boxes, usable))
-            elif crops:
-                poses = np.asarray(providers.landmarks.pose_batch(np.stack(crops)))
-            else:
-                poses = []
+                        else:
+                            crop = frames[i][y1:y2, x1:x2]
+                            if crop.size > 0:
+                                crops.append(_resize_crop(crop, cfg.crop_size))
+                                usable.append(i)
+                if pose_boxes_fn is not None and boxes:
+                    poses = np.asarray(pose_boxes_fn(dev, boxes, usable))
+                elif crops:
+                    poses = np.asarray(providers.landmarks.pose_batch(np.stack(crops)))
+                else:
+                    poses = []
             for i, p in zip(usable, poses):
                 raw_pose[i] = p  # (pitch, yaw, roll)
                 pose_valid[i] = True
 
             # Both smoothing scans + EAR, one chunk-resumable dispatch.
-            sm_lm, sm_ears, sm_pose, lm_carry, pose_carry = v4_smooth_chunk(
-                lm_carry, pose_carry, times, raw_track, valid, raw_pose, pose_valid,
-                lm_min_cutoff=cfg.landmark_min_cutoff, lm_beta=cfg.landmark_beta,
-                pose_min_cutoff=cfg.pose_min_cutoff, pose_beta=cfg.pose_beta,
-            )
-            smoothed_ears = np.asarray(sm_ears)
-            smoothed_pose = np.asarray(sm_pose)
+            with tracer.span("v4/smooth"):
+                sm_lm, sm_ears, sm_pose, lm_carry, pose_carry = v4_smooth_chunk(
+                    lm_carry, pose_carry, times, raw_track, valid, raw_pose, pose_valid,
+                    lm_min_cutoff=cfg.landmark_min_cutoff, lm_beta=cfg.landmark_beta,
+                    pose_min_cutoff=cfg.pose_min_cutoff, pose_beta=cfg.pose_beta,
+                )
+                smoothed_ears = np.asarray(sm_ears)
+                smoothed_pose = np.asarray(sm_pose)
 
-            viz_frames = []
-            for i, fid in enumerate(kept_ids):
-                frame = frames[i].copy()
-                if valid[i]:
-                    ear = float(smoothed_ears[i])
-                    blink_data.append(
-                        {"frame_id": int(fid), "timestamp": float(times[i]), "ear": ear}
-                    )
-                    try:
-                        import cv2
+            with tracer.span("v4/emit"):
+                for i, fid in enumerate(kept_ids):
+                    if valid[i]:
+                        blink_data.append(
+                            {"frame_id": int(fid), "timestamp": float(times[i]),
+                             "ear": float(smoothed_ears[i])}
+                        )
+                    if pose_valid[i]:
+                        pitch, yaw, roll = smoothed_pose[i]
+                        head_pose_data.append(
+                            {
+                                "frame_id": int(fid),
+                                "timestamp": float(times[i]),
+                                "pose": {"pitch": float(pitch), "yaw": float(yaw),
+                                         "roll": float(roll)},
+                            }
+                        )
 
-                        if crop_boxes[i]:
-                            x1, y1, x2, y2 = crop_boxes[i]
-                            cv2.rectangle(frame, (x1, y1), (x2, y2), (255, 255, 0), 1)
-                        cv2.putText(frame, f"EAR: {ear:.2f}", (10, 30),
-                                    cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 0, 0), 2)
+            # Annotation + encode on the viz sink thread (see V3).
+            def draw_chunk(frames=frames, valid=valid, ears=smoothed_ears,
+                           boxes=list(crop_boxes)):
+                import cv2
+
+                batch = frames.copy()
+                for i in range(len(batch)):
+                    if not valid[i]:
+                        continue
+                    try:  # drawing failures never lose the frame
+                        if boxes[i]:
+                            x1, y1, x2, y2 = boxes[i]
+                            cv2.rectangle(batch[i], (x1, y1), (x2, y2),
+                                          (255, 255, 0), 1)
+                        cv2.putText(batch[i], f"EAR: {float(ears[i]):.2f}",
+                                    (10, 30), cv2.FONT_HERSHEY_SIMPLEX, 0.7,
+                                    (255, 0, 0), 2)
                     except Exception:
                         pass
-                if pose_valid[i]:
-                    pitch, yaw, roll = smoothed_pose[i]
-                    head_pose_data.append(
-                        {
-                            "frame_id": int(fid),
-                            "timestamp": float(times[i]),
-                            "pose": {"pitch": float(pitch), "yaw": float(yaw),
-                                     "roll": float(roll)},
-                        }
-                    )
-                viz_frames.append(frame)
-            viz.append(np.stack(viz_frames))
+                return batch
+
+            viz.append(draw_chunk)
             processed += T
     finally:
         viz.close()

@@ -506,8 +506,10 @@ class IncrementalVideoWriter:
             self._writer.release()
             self._writer = None
 
-    def append(self, frames_rgb: np.ndarray) -> None:
-        if len(frames_rgb) == 0:
+    def append(self, frames_rgb) -> None:
+        """RGB uint8 [T,H,W,3] batch, or a zero-arg callable returning one
+        (drawing then happens on the encoder thread)."""
+        if not callable(frames_rgb) and len(frames_rgb) == 0:
             return
         self._sink.append(frames_rgb)
 

@@ -74,13 +74,15 @@ class AsyncFrameSink:
 
     Used by the viz-video writers: ``append(batch)`` enqueues (bounded, so
     memory stays capped at ``maxsize`` chunks) and a single worker thread
-    feeds the underlying encoder in order.  ``close()`` flushes, releases
-    the encoder, and re-raises any worker failure.
+    feeds the underlying encoder in order.  A batch may also be a zero-arg
+    callable returning the frame array — the annotation/drawing work then
+    runs on the sink thread too, off the node's critical path.  ``close()``
+    flushes, releases the encoder, and re-raises any worker failure.
     """
 
     def __init__(self, write_batch: Callable[[np.ndarray], None],
                  close_fn: Callable[[], None], maxsize: int = 4):
-        self._q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=maxsize)
+        self._q: "queue.Queue[object]" = queue.Queue(maxsize=maxsize)
         self._write_batch = write_batch
         self._close_fn = close_fn
         self._error: Optional[BaseException] = None
@@ -94,14 +96,18 @@ class AsyncFrameSink:
                 if batch is None:
                     return
                 if self._error is None:
-                    self._write_batch(batch)
+                    if callable(batch):
+                        batch = batch()
+                    if len(batch):
+                        self._write_batch(batch)
             except BaseException as e:
                 self._error = e
             finally:
                 self._q.task_done()
 
-    def append(self, batch: np.ndarray) -> None:
-        if len(batch):
+    def append(self, batch) -> None:
+        """batch: uint8 [T,H,W,3] array, or a zero-arg callable producing one."""
+        if callable(batch) or len(batch):
             self._q.put(batch)
 
     def close(self) -> None:
