@@ -218,9 +218,18 @@ def run(
 
             viz.append(draw_chunk)
             processed += T
-    finally:
-        viz.close()
-    if not os.path.exists(viz_path):
+        # Success: deferred close — encode overlaps downstream nodes; the
+        # scheduler flushes before the final state is returned.
+        from fvd_tpu.runtime.io_pool import defer_artifact
+
+        defer_artifact(output_dir, viz.close_async())
+    except BaseException:
+        try:
+            viz.close()
+        except BaseException:
+            pass
+        raise
+    if not viz.appended:
         viz_path = None
 
     metadata = dict(state.get("metadata", {}) or {})

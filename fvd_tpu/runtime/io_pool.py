@@ -8,6 +8,13 @@ behind the axon tunnel, is mostly network wait), the host core encodes the
 previous chunk's JPEGs.  Each node drains its writer before returning, so
 the on-disk artifact contract (files exist when the node's delta is merged)
 is unchanged.
+
+Bulk artifacts that nothing downstream reads (the viz mp4s) can go further:
+``defer_artifact`` registers a pending background write against the run's
+artifact dir and the node returns immediately; the scheduler calls
+``flush_artifacts(run_dir)`` once the whole DAG finished, so the encode
+overlaps downstream nodes (and, under multi-video overlap, other videos'
+device work) instead of gating the node's children.
 """
 
 from __future__ import annotations
@@ -69,6 +76,40 @@ class ArtifactWriter:
             raise err
 
 
+_deferred_lock = threading.Lock()
+_deferred: "dict[str, List[Future]]" = {}
+
+
+def defer_artifact(run_dir: str, future: Future) -> None:
+    """Register a pending background artifact write for ``run_dir``.
+
+    The write completes on its own thread; ``flush_artifacts`` (called by
+    the scheduler at end of run) waits for it and surfaces failures.
+    """
+    with _deferred_lock:
+        _deferred.setdefault(run_dir or "", []).append(future)
+
+
+def flush_artifacts(run_dir: Optional[str] = None) -> List[str]:
+    """Wait for deferred artifact writes; returns error strings.
+
+    ``run_dir=None`` flushes every registered dir (tool/teardown use).
+    """
+    with _deferred_lock:
+        if run_dir is None:
+            pending = [f for fs in _deferred.values() for f in fs]
+            _deferred.clear()
+        else:
+            pending = _deferred.pop(run_dir, []) + _deferred.pop("", [])
+    errors: List[str] = []
+    for f in pending:
+        try:
+            f.result()
+        except BaseException as e:
+            errors.append(repr(e))
+    return errors
+
+
 class AsyncFrameSink:
     """Dedicated-thread frame sink wrapping a blocking per-frame writer.
 
@@ -95,6 +136,19 @@ class AsyncFrameSink:
             try:
                 if batch is None:
                     return
+                if isinstance(batch, Future):
+                    # close_async sentinel: release the encoder and resolve
+                    # the future with any worker-side failure
+                    try:
+                        self._close_fn()
+                    except BaseException as e:
+                        if self._error is None:
+                            self._error = e
+                    if self._error is not None:
+                        batch.set_exception(self._error)
+                    else:
+                        batch.set_result(None)
+                    return
                 if self._error is None:
                     if callable(batch):
                         batch = batch()
@@ -120,3 +174,11 @@ class AsyncFrameSink:
                 self._error = e
         if self._error is not None:
             raise self._error
+
+    def close_async(self) -> Future:
+        """Flush + release on the sink thread; returns a Future that
+        resolves when everything queued (and the encoder release) finished.
+        The caller must not append after this."""
+        fut: Future = Future()
+        self._q.put(fut)
+        return fut

@@ -236,6 +236,12 @@ class Scheduler:
                     await emit(NodeEvent(node=name, status="done", delta=delta))
         finally:
             executor.shutdown(wait=False, cancel_futures=True)
+            # Deferred artifact writes (viz mp4s) ran overlapped with the
+            # rest of the DAG; the run isn't done until they land.
+            from fvd_tpu.runtime.io_pool import flush_artifacts
+
+            for err in flush_artifacts(current.get("data_dir")):
+                print(f"Scheduler: WARNING - deferred artifact write failed: {err}")
 
         if failed and self.fail_fast:
             name, err = next(iter(failed.items()))

@@ -92,15 +92,58 @@ def test_cache_eviction_bounds_memory(tmp_path):
         paths = []
         for v in range(3):
             p = str(tmp_path / f"v{v}.mp4")
-            media.write_video(p, np.zeros((20, 32, 32, 3), np.uint8), 10.0)
+            media.write_video(p, np.full((20, 32, 32, 3), v * 50, np.uint8), 10.0)
             paths.append(p)
             reader.sample(p, range(20))
         total = sum(len(s) for s in media._frame_cache._frames.values())
         assert total <= 40
-        # the most recent path is still resident
-        assert paths[-1] in media._frame_cache._frames
+        # the most recent video is still resident (content-keyed store)
+        assert media.content_key(paths[-1]) in media._frame_cache._frames
     finally:
         media._frame_cache.max_frames = 4096
+
+
+def test_content_identity_shared_across_paths(video, tmp_path, monkeypatch):
+    """A byte-identical copy at a different path (each run copies its input
+    into a fresh run dir) hits the same cache entry: no second decode."""
+    import shutil
+
+    copy = str(tmp_path / "elsewhere" / "video.mp4")
+    import os
+
+    os.makedirs(os.path.dirname(copy))
+    shutil.copy(video, copy)
+
+    reader = media.VideoReader()
+    decode_calls = []
+    orig = reader._sample_uncached
+
+    def counting(path, ids):
+        decode_calls.append(list(ids))
+        return orig(path, ids)
+
+    monkeypatch.setattr(reader, "_sample_uncached", counting)
+    f1, k1 = reader.sample(video, [0, 6, 12])
+    f2, k2 = reader.sample(copy, [0, 6, 12])
+    assert k1 == k2 == [0, 6, 12]
+    assert len(decode_calls) == 1  # the copy was served from content identity
+    np.testing.assert_array_equal(f1, f2)
+    # metadata rides the same identity
+    assert reader.probe(copy) is reader.probe(video)
+
+
+def test_content_key_tracks_rewrites(tmp_path):
+    """Same path, new bytes -> new identity (no stale frames)."""
+    p = str(tmp_path / "v.mp4")
+    media.write_video(p, np.zeros((5, 32, 32, 3), np.uint8), 10.0)
+    k1 = media.content_key(p)
+    import os
+    import time
+
+    time.sleep(0.01)
+    media.write_video(p, np.full((5, 32, 32, 3), 200, np.uint8), 10.0)
+    os.utime(p)  # ensure mtime_ns moves even on coarse filesystems
+    assert media.content_key(p) != k1
 
 
 def test_cache_probe_memoized(video, monkeypatch):
@@ -128,7 +171,7 @@ def test_sample_survives_concurrent_eviction(video, monkeypatch):
     def evicting_insert(path, frames, ids):
         orig_insert(path, frames, ids)
         # simulate a concurrent eviction of everything
-        media._frame_cache._frames.pop(path, None)
+        media._frame_cache._frames.pop(media.content_key(path), None)
 
     monkeypatch.setattr(media._frame_cache, "insert", evicting_insert)
     frames, kept = reader.sample(video, [0, 5, 10])

@@ -8,6 +8,7 @@ import pytest
 
 from fvd_tpu.nodes import v3_landmarks, v4_dynamics
 from fvd_tpu.providers import Providers
+from fvd_tpu.runtime.io_pool import flush_artifacts
 from fvd_tpu.providers.vision import ScriptedLandmarks
 from fvd_tpu.state import State
 from fvd_tpu.synthetic import SyntheticLandmarks, make_synthetic_video
@@ -27,6 +28,7 @@ def _providers(fps=10.0):
 
 def test_v3_produces_mouth_timeseries(run_dir):
     delta = v3_landmarks.run(State(data_dir=run_dir), providers=_providers())
+    flush_artifacts(run_dir)  # viz close is deferred past node return
     data = delta["mouth_landmarks"]
     # 2s at 10fps sampled at 5fps -> stride 2 -> 10 samples
     assert len(data) == 10
@@ -56,6 +58,7 @@ def test_v3_no_faces_empty_landmarks(run_dir):
 
 def test_v4_blink_and_pose_tracks(run_dir):
     delta = v4_dynamics.run(State(data_dir=run_dir), providers=_providers())
+    flush_artifacts(run_dir)
     blink = delta["blink_data"]
     pose = delta["head_pose_data"]
     assert len(blink) == 10

@@ -62,6 +62,11 @@ def main() -> int:
     module = importlib.import_module(NODE_MODULES[args.node])
     delta = module.run(state, config=default_config().replace(debug=args.debug))
 
+    from fvd_tpu.runtime.io_pool import flush_artifacts
+
+    for err in flush_artifacts(None):  # nodes may defer viz writes
+        print(f"WARNING: deferred artifact write failed: {err}")
+
     def show(v):
         s = repr(v)
         return s if len(s) < 300 else s[:300] + f"... ({len(s)} chars)"
