@@ -86,6 +86,11 @@ def main() -> None:
         # the metric name promises real trained forwards — refuse to publish
         # a random-init number under it
         assert type(providers.asr).__name__ == "JaxASR", providers.asr
+        # wrap ONCE so the warmup run compiles the same fixed-bucket
+        # coalesced programs the measured overlapped passes will use
+        from fvd_tpu.providers.coalesce import coalesce_providers
+
+        providers, _close_coalesce = coalesce_providers(providers)
         metric = "end_to_end_videos_per_min_30s_clips_real_models"
 
     config = dataclasses.replace(

@@ -114,13 +114,23 @@ def run_pipeline_many(
     determinism)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from fvd_tpu.providers.coalesce import coalesce_providers
+
     providers = providers or get_providers()
-    with ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
-        futures = [
-            pool.submit(run_pipeline, path, None, config, providers)
-            for path in video_paths
-        ]
-        return [f.result() for f in futures]
+    close = lambda: None  # noqa: E731
+    if concurrency > 1:
+        # cross-video coalescing: concurrent pipelines' detector/landmark/
+        # pose forwards merge into single fixed-shape device programs
+        providers, close = coalesce_providers(providers)
+    try:
+        with ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
+            futures = [
+                pool.submit(run_pipeline, path, None, config, providers)
+                for path in video_paths
+            ]
+            return [f.result() for f in futures]
+    finally:
+        close()
 
 
 def evaluate_video(

@@ -1,0 +1,343 @@
+"""Cross-video coalescing of model forwards.
+
+Under multi-video overlap (``batch.run_pipeline_many``, the bench, serving)
+each pipeline issues its own small device programs: per video one detector
+forward over the sample grid, one landmark forward, one pose forward
+(reference analog: per-frame model calls, ``v1:105-108``, ``v3:130``,
+``v4:131``).  Behind a high-latency device link the dispatch+fetch round
+trips — not the FLOPs — bound throughput.
+
+This layer coalesces concurrent requests into single device programs, the
+same dynamic-batching idea as ``fvd_tpu.serving.MicroBatcher`` but for
+variable-length frame batches: requests that arrive within the batching
+window are grouped by frame geometry, concatenated (on device when the
+inputs are HBM-resident), padded to a FIXED frame bucket so every group
+reuses one compiled program, run as one forward, and the results split back
+per request.  8 overlapped videos' landmark stages become one ~8x larger
+MXU batch with one result fetch.
+
+Wrap only providers that do real device forwards
+(``accepts_device_frames``); deterministic host fixtures gain nothing.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from collections import defaultdict
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class _Req:
+    key: tuple
+    size: int
+    payload: Any
+    fut: Future
+
+
+class _Coalescer:
+    """Generic request coalescer.
+
+    ``run_group(key, payloads) -> list-of-results`` executes one merged
+    call; requests are grouped by ``key`` and greedily packed so a group's
+    total ``size`` stays <= ``max_total`` (an oversized single request runs
+    alone — ``run_group`` must handle any size).
+    """
+
+    def __init__(self, run_group: Callable[[tuple, List[Any]], List[Any]],
+                 max_total: int, max_wait_ms: float = 6.0):
+        self.run_group = run_group
+        self.max_total = max_total
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._q: "queue.Queue[Optional[_Req]]" = queue.Queue()
+        self._running = True
+        self.groups_run = 0
+        self.items_served = 0
+        self._thread = threading.Thread(target=self._worker, daemon=True,
+                                        name="fvd-coalesce")
+        self._thread.start()
+
+    def submit(self, key: tuple, size: int, payload: Any) -> Future:
+        fut: Future = Future()
+        if not self._running:
+            fut.set_exception(RuntimeError("coalescer is closed"))
+            return fut
+        self._q.put(_Req(key, size, payload, fut))
+        return fut
+
+    def close(self) -> None:
+        self._running = False
+        self._q.put(None)
+        self._thread.join(timeout=10)
+
+    def _drain_window(self, first: _Req) -> List[_Req]:
+        items = [first]
+        t0 = time.monotonic()
+        while True:
+            remaining = self.max_wait_s - (time.monotonic() - t0)
+            if remaining <= 0:
+                return items
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                return items
+            if nxt is None:
+                self._running = False
+                return items
+            items.append(nxt)
+
+    def _worker(self) -> None:
+        while True:
+            if not self._running:  # close() sentinel may land mid-window
+                break
+            first = self._q.get()
+            if first is None:
+                break
+            items = self._drain_window(first)
+            by_key: Dict[tuple, List[_Req]] = defaultdict(list)
+            for it in items:
+                by_key[it.key].append(it)
+            for key, reqs in by_key.items():
+                chunk: List[_Req] = []
+                total = 0
+                for r in reqs + [None]:  # sentinel flushes the last chunk
+                    if r is not None and (not chunk or total + r.size <= self.max_total):
+                        chunk.append(r)
+                        total += r.size
+                        continue
+                    if chunk:
+                        self._run_chunk(key, chunk)
+                    chunk = [r] if r is not None else []
+                    total = r.size if r is not None else 0
+        # fail anything still queued
+        while True:
+            try:
+                left = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if left is not None:
+                left.fut.set_exception(RuntimeError("coalescer closed"))
+
+    def _run_chunk(self, key: tuple, chunk: List[_Req]) -> None:
+        try:
+            results = self.run_group(key, [r.payload for r in chunk])
+            self.groups_run += 1
+            self.items_served += len(chunk)
+            for r, res in zip(chunk, results):
+                r.fut.set_result(res)
+        except BaseException as e:
+            for r in chunk:
+                r.fut.set_exception(e)
+
+
+def _shape_hw(frames) -> Tuple[int, int]:
+    return (int(frames.shape[1]), int(frames.shape[2]))
+
+
+def _concat_pad_device(devs: Sequence[Any], pad_to: int):
+    """Concatenate HBM frame tensors along T and zero-pad to ``pad_to``."""
+    import jax.numpy as jnp
+
+    total = sum(int(d.shape[0]) for d in devs)
+    parts = list(devs)
+    if pad_to > total:
+        h, w = int(devs[0].shape[1]), int(devs[0].shape[2])
+        parts.append(jnp.zeros((pad_to - total, h, w, 3), jnp.uint8))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _concat_pad_host(frames_list: Sequence[np.ndarray], pad_to: int) -> np.ndarray:
+    total = sum(len(f) for f in frames_list)
+    h, w = frames_list[0].shape[1:3]
+    out = np.zeros((max(pad_to, total), h, w, 3), np.uint8)
+    o = 0
+    for f in frames_list:
+        out[o : o + len(f)] = f
+        o += len(f)
+    return out
+
+
+class CoalescingDetector:
+    """FaceDetectorProvider wrapper: coalesce concurrent ``detect_batch``
+    calls (V1's per-video sample grids) into fixed-bucket forwards."""
+
+    def __init__(self, inner, bucket_frames: int = 256, max_wait_ms: float = 6.0):
+        self.inner = inner
+        self.model_name = inner.model_name
+        self.accepts_device_frames = getattr(inner, "accepts_device_frames", False)
+        self.bucket_frames = bucket_frames
+        self._co = _Coalescer(self._run_group, max_total=bucket_frames,
+                              max_wait_ms=max_wait_ms)
+
+    def detect_batch(self, frames) -> List[list]:
+        n = len(frames)
+        if n == 0:
+            return []
+        is_dev = not isinstance(frames, np.ndarray)
+        key = (_shape_hw(frames), is_dev)
+        return self._co.submit(key, n, frames).result()
+
+    def _run_group(self, key: tuple, payloads: List[Any]) -> List[List[list]]:
+        (h, w), is_dev = key
+        lengths = [int(len(p)) for p in payloads]
+        total = sum(lengths)
+        pad_to = self.bucket_frames if total <= self.bucket_frames else total
+        if is_dev:
+            cat = _concat_pad_device(payloads, pad_to)
+        else:
+            cat = _concat_pad_host(payloads, pad_to)
+        res = self.inner.detect_batch(cat)
+        out, o = [], 0
+        for n in lengths:
+            out.append(res[o : o + n])
+            o += n
+        return out
+
+    def close(self) -> None:
+        self._co.close()
+
+
+class CoalescingLandmarks:
+    """LandmarkProvider wrapper: coalesce concurrent landmark / pose
+    forwards across overlapped videos.
+
+    * ``landmarks_batch``: frame batches concatenate (device-side when
+      HBM-resident) and pad to ``bucket_frames`` — detector + landmark
+      forwards inside the inner provider then run once for the whole group
+      at one fixed shape.
+    * ``pose_boxes_batch``: per-video frame tensors concatenate with owner
+      offsets; one fused crop+pose program per group.
+    * ``pose_batch`` passes through (host-crop fallback path, not hot).
+    """
+
+    def __init__(self, inner, bucket_frames: int = 512, max_wait_ms: float = 6.0):
+        self.inner = inner
+        self.model_name = inner.model_name
+        self.accepts_device_frames = getattr(inner, "accepts_device_frames", False)
+        self.bucket_frames = bucket_frames
+        self._co = _Coalescer(self._run_group, max_total=bucket_frames,
+                              max_wait_ms=max_wait_ms)
+        if not hasattr(inner, "pose_boxes_batch"):
+            # V4 feature-detects this attribute (None disables the fused path)
+            self.pose_boxes_batch = None  # type: ignore[assignment]
+
+    # -- landmark stage ----------------------------------------------------
+    def landmarks_batch(self, frames: np.ndarray,
+                        device_frames=None) -> List[List[np.ndarray]]:
+        n = len(frames)
+        if n == 0:
+            return []
+        key = ("lm", _shape_hw(frames), device_frames is not None)
+        return self._co.submit(key, n, (frames, device_frames)).result()
+
+    # -- pose stage --------------------------------------------------------
+    def pose_boxes_batch(self, device_frames, boxes, owners) -> np.ndarray:
+        if len(boxes) == 0:
+            return np.zeros((0, 3))
+        key = ("pose", (int(device_frames.shape[1]), int(device_frames.shape[2])))
+        return self._co.submit(
+            key, int(device_frames.shape[0]), (device_frames, boxes, owners)
+        ).result()
+
+    def pose_batch(self, crops: np.ndarray) -> np.ndarray:
+        return self.inner.pose_batch(crops)
+
+    # -- group runners -----------------------------------------------------
+    def _run_group(self, key: tuple, payloads: List[Any]) -> List[Any]:
+        if key[0] == "lm":
+            return self._run_lm(key, payloads)
+        return self._run_pose(key, payloads)
+
+    def _run_lm(self, key: tuple, payloads: List[Any]) -> List[Any]:
+        _, (h, w), has_dev = key
+        lengths = [int(len(f)) for f, _ in payloads]
+        total = sum(lengths)
+        pad_to = self.bucket_frames if total <= self.bucket_frames else total
+        if has_dev and self.accepts_device_frames:
+            dev = _concat_pad_device([d for _, d in payloads], pad_to)
+            # the inner provider reads host frames only for per-frame (h, w)
+            # when a device tensor is supplied — a zero-copy broadcast view
+            # stands in for the pixels
+            proxy = np.broadcast_to(np.zeros((1, h, w, 3), np.uint8),
+                                    (pad_to, h, w, 3))
+            res = self.inner.landmarks_batch(proxy, device_frames=dev)
+        else:
+            cat = _concat_pad_host([f for f, _ in payloads], pad_to)
+            res = self.inner.landmarks_batch(cat)
+        out, o = [], 0
+        for n in lengths:
+            out.append(res[o : o + n])
+            o += n
+        return out
+
+    def _run_pose(self, key: tuple, payloads: List[Any]) -> List[np.ndarray]:
+        frame_counts = [int(d.shape[0]) for d, _, _ in payloads]
+        total = sum(frame_counts)
+        pad_to = self.bucket_frames if total <= self.bucket_frames else total
+        dev = _concat_pad_device([d for d, _, _ in payloads], pad_to)
+        boxes_all: List[Any] = []
+        owners_all: List[int] = []
+        offset = 0
+        for (d, boxes, owners), n in zip(payloads, frame_counts):
+            boxes_all.extend(boxes)
+            owners_all.extend(int(o) + offset for o in owners)
+            offset += n
+        res = np.asarray(self.inner.pose_boxes_batch(dev, boxes_all, owners_all))
+        out, o = [], 0
+        for _, boxes, _ in payloads:
+            out.append(res[o : o + len(boxes)])
+            o += len(boxes)
+        return out
+
+    def close(self) -> None:
+        self._co.close()
+
+
+def coalesce_providers(providers, bucket_frames: int = 512,
+                       detect_bucket_frames: int = 256,
+                       max_wait_ms: float = 6.0):
+    """Wrap the device-forward providers of a bundle for cross-video
+    coalescing.  Returns ``(providers, close)``; only providers that run
+    real device programs (``accepts_device_frames``) are wrapped —
+    deterministic host fixtures pass through untouched.
+    """
+    import dataclasses
+    import os
+
+    if os.environ.get("FVD_TPU_NO_COALESCE"):
+        return providers, lambda: None
+
+    wrapped: List[Any] = []
+    changes: Dict[str, Any] = {}
+    lm = getattr(providers, "landmarks", None)
+    if isinstance(lm, CoalescingLandmarks) or isinstance(
+        getattr(providers, "face_detector", None), CoalescingDetector
+    ):
+        return providers, lambda: None  # already coalescing (idempotent)
+    if lm is not None and getattr(lm, "accepts_device_frames", False):
+        clm = CoalescingLandmarks(lm, bucket_frames=bucket_frames,
+                                  max_wait_ms=max_wait_ms)
+        changes["landmarks"] = clm
+        wrapped.append(clm)
+    det = getattr(providers, "face_detector", None)
+    if det is not None and getattr(det, "accepts_device_frames", False):
+        cdet = CoalescingDetector(det, bucket_frames=detect_bucket_frames,
+                                  max_wait_ms=max_wait_ms)
+        changes["face_detector"] = cdet
+        wrapped.append(cdet)
+
+    if not changes:
+        return providers, lambda: None
+    out = dataclasses.replace(providers, **changes)
+
+    def close() -> None:
+        for w in wrapped:
+            w.close()
+
+    return out, close

@@ -1,0 +1,229 @@
+"""Cross-video forward coalescing: grouping, padding, splits, errors."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from fvd_tpu.providers import Providers
+from fvd_tpu.providers.coalesce import (
+    CoalescingDetector,
+    CoalescingLandmarks,
+    coalesce_providers,
+)
+
+
+class FakeLandmarks:
+    """Host-path landmark provider: landmark value encodes the source pixel,
+    so callers can verify they got THEIR frames' results back."""
+
+    model_name = "fake_lm"
+    accepts_device_frames = False
+
+    def __init__(self):
+        self.calls = []
+        self.lock = threading.Lock()
+
+    def landmarks_batch(self, frames, device_frames=None):
+        with self.lock:
+            self.calls.append(len(frames))
+        return [[np.full((68, 2), float(f[0, 0, 0]))] for f in frames]
+
+    def pose_batch(self, crops):
+        return np.zeros((len(crops), 3))
+
+
+class FakeDeviceLandmarks(FakeLandmarks):
+    """Device-path provider: reads pixels from the device tensor (the host
+    array is a zero-copy shape proxy, as with the real FANLandmarks)."""
+
+    accepts_device_frames = True
+
+    def landmarks_batch(self, frames, device_frames=None):
+        with self.lock:
+            self.calls.append(len(frames))
+        assert device_frames is not None
+        dev = np.asarray(device_frames)
+        return [[np.full((68, 2), float(d[0, 0, 0]))] for d in dev]
+
+    def pose_boxes_batch(self, device_frames, boxes, owners):
+        dev = np.asarray(device_frames)
+        return np.stack([
+            np.array([float(dev[o][0, 0, 0]), 0.0, 0.0]) for o in owners
+        ])
+
+
+class FakeDetector:
+    model_name = "fake_det"
+    accepts_device_frames = False
+
+    def __init__(self):
+        self.calls = []
+
+    def detect_batch(self, frames):
+        self.calls.append(len(frames))
+        return [[("box", float(f[0, 0, 0]))] for f in frames]
+
+
+def _submit_concurrently(fns):
+    results = [None] * len(fns)
+    errs = []
+
+    def run(i):
+        try:
+            results[i] = fns[i]()
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(len(fns))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return results, errs
+
+
+def test_landmarks_coalesce_host_path():
+    inner = FakeLandmarks()
+    co = CoalescingLandmarks(inner, bucket_frames=64, max_wait_ms=80.0)
+    try:
+        a = np.full((10, 8, 8, 3), 7, np.uint8)
+        b = np.full((12, 8, 8, 3), 9, np.uint8)
+        (ra, rb), errs = _submit_concurrently([
+            lambda: co.landmarks_batch(a),
+            lambda: co.landmarks_batch(b),
+        ])
+        assert not errs
+        # one merged inner call, padded to the fixed bucket
+        assert inner.calls == [64]
+        assert len(ra) == 10 and len(rb) == 12
+        assert all(lm[0][0, 0] == 7.0 for lm in ra)
+        assert all(lm[0][0, 0] == 9.0 for lm in rb)
+    finally:
+        co.close()
+
+
+def test_landmarks_coalesce_device_path_and_pose_offsets():
+    inner = FakeDeviceLandmarks()
+    co = CoalescingLandmarks(inner, bucket_frames=32, max_wait_ms=80.0)
+    try:
+        import jax.numpy as jnp
+
+        host_a = np.full((4, 8, 8, 3), 5, np.uint8)
+        host_b = np.full((6, 8, 8, 3), 11, np.uint8)
+        dev_a = jnp.asarray(host_a)
+        dev_b = jnp.asarray(host_b)
+        (ra, rb), errs = _submit_concurrently([
+            lambda: co.landmarks_batch(host_a, device_frames=dev_a),
+            lambda: co.landmarks_batch(host_b, device_frames=dev_b),
+        ])
+        assert not errs
+        assert inner.calls == [32]
+        assert all(lm[0][0, 0] == 5.0 for lm in ra)
+        assert all(lm[0][0, 0] == 11.0 for lm in rb)
+
+        # pose: owner ids offset per group member; each caller sees poses
+        # computed from ITS frames
+        (pa, pb), errs = _submit_concurrently([
+            lambda: co.pose_boxes_batch(dev_a, [(0, 0, 4, 4)] * 2, [0, 1]),
+            lambda: co.pose_boxes_batch(dev_b, [(0, 0, 4, 4)] * 3, [0, 2, 4]),
+        ])
+        assert not errs
+        assert pa.shape == (2, 3) and pb.shape == (3, 3)
+        assert all(p[0] == 5.0 for p in pa)
+        assert all(p[0] == 11.0 for p in pb)
+    finally:
+        co.close()
+
+
+def test_detector_coalesce_and_split():
+    inner = FakeDetector()
+    co = CoalescingDetector(inner, bucket_frames=16, max_wait_ms=80.0)
+    try:
+        a = np.full((3, 8, 8, 3), 1, np.uint8)
+        b = np.full((5, 8, 8, 3), 2, np.uint8)
+        (ra, rb), errs = _submit_concurrently([
+            lambda: co.detect_batch(a),
+            lambda: co.detect_batch(b),
+        ])
+        assert not errs
+        assert inner.calls == [16]
+        assert [d[0][1] for d in ra] == [1.0] * 3
+        assert [d[0][1] for d in rb] == [2.0] * 5
+    finally:
+        co.close()
+
+
+def test_oversized_request_runs_alone():
+    inner = FakeLandmarks()
+    co = CoalescingLandmarks(inner, bucket_frames=8, max_wait_ms=10.0)
+    try:
+        big = np.full((20, 8, 8, 3), 3, np.uint8)
+        res = co.landmarks_batch(big)
+        assert len(res) == 20
+        assert inner.calls == [20]  # no padding past an oversized request
+    finally:
+        co.close()
+
+
+def test_group_error_propagates_to_all_callers():
+    class Exploding(FakeLandmarks):
+        def landmarks_batch(self, frames, device_frames=None):
+            raise RuntimeError("forward failed")
+
+    co = CoalescingLandmarks(Exploding(), bucket_frames=16, max_wait_ms=50.0)
+    try:
+        a = np.zeros((2, 8, 8, 3), np.uint8)
+        results, errs = _submit_concurrently([
+            lambda: co.landmarks_batch(a),
+            lambda: co.landmarks_batch(a),
+        ])
+        assert len(errs) == 2
+        assert all("forward failed" in str(e) for e in errs)
+    finally:
+        co.close()
+
+
+def test_incompatible_shapes_group_separately():
+    inner = FakeLandmarks()
+    co = CoalescingLandmarks(inner, bucket_frames=64, max_wait_ms=80.0)
+    try:
+        a = np.full((4, 8, 8, 3), 1, np.uint8)
+        b = np.full((4, 16, 16, 3), 2, np.uint8)
+        (ra, rb), errs = _submit_concurrently([
+            lambda: co.landmarks_batch(a),
+            lambda: co.landmarks_batch(b),
+        ])
+        assert not errs
+        assert sorted(inner.calls) == [64, 64]  # two groups (different H, W)
+        assert all(lm[0][0, 0] == 1.0 for lm in ra)
+        assert all(lm[0][0, 0] == 2.0 for lm in rb)
+    finally:
+        co.close()
+
+
+def test_coalesce_providers_wraps_only_device_models():
+    host = Providers(landmarks=FakeLandmarks(), face_detector=FakeDetector())
+    same, close = coalesce_providers(host)
+    assert same is host
+    close()
+
+    dev = Providers(landmarks=FakeDeviceLandmarks())
+    wrapped, close = coalesce_providers(dev)
+    try:
+        assert isinstance(wrapped.landmarks, CoalescingLandmarks)
+        # idempotent: re-wrapping returns the same bundle
+        again, close2 = coalesce_providers(wrapped)
+        assert again is wrapped
+        close2()
+    finally:
+        close()
+
+
+def test_pose_boxes_attr_none_when_inner_lacks_it():
+    co = CoalescingLandmarks(FakeLandmarks(), bucket_frames=8)
+    try:
+        # V4 feature-detects this: None must disable the fused path
+        assert getattr(co, "pose_boxes_batch", None) is None
+    finally:
+        co.close()
