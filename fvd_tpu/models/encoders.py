@@ -174,6 +174,9 @@ class JaxClip:
     and stored in the checkpoint sidecar.
     """
 
+    #: device-forward provider: eligible for cross-video coalescing
+    coalescable = True
+
     def __init__(self, params=None, dim: int = 192, depth: int = 6, out_dim: int = 256,
                  checkpoint: Optional[str] = None,
                  cal_offset: float = 0.0, cal_scale: float = 1.0):

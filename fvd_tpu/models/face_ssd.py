@@ -166,9 +166,15 @@ class SSDFaceDetector:
     def detect_batch(self, frames: np.ndarray) -> List[List[FaceBox]]:
         if len(frames) == 0:
             return []
+        from fvd_tpu.parallel.inference import shard_for_inference
+
         h, w = frames.shape[1:3]
+        # frames are per-item independent: shard the batch dim over the
+        # inference mesh's data axis when one is configured (no-op on one
+        # device — see parallel/inference.py)
         boxes, scores = detect_batch_jit(
-            self.params, jnp.asarray(frames), width=self.width, max_out=self.max_out
+            self.params, shard_for_inference(jnp.asarray(frames)),
+            width=self.width, max_out=self.max_out
         )
         boxes = np.asarray(boxes)
         scores = np.asarray(scores)

@@ -305,13 +305,16 @@ class FANLandmarks:
                                       jnp.asarray(owners_arr), width=self.width)
             )[:n]
         else:
+            from fvd_tpu.parallel.inference import shard_for_inference
+
             crops = [
                 cv2.resize(frame[y1:y2, x1:x2], (CROP_SIZE, CROP_SIZE))
                 for (x1, y1, x2, y2), i in zip(boxes, owners)
                 for frame in (frames[i],)
             ]
             coords = np.asarray(
-                landmarks_forward(self.landmark_params, jnp.asarray(np.stack(crops)),
+                landmarks_forward(self.landmark_params,
+                                  shard_for_inference(jnp.asarray(np.stack(crops))),
                                   width=self.width)
             )
         for (x1, y1, x2, y2), owner, c in zip(boxes, owners, coords):
@@ -324,8 +327,11 @@ class FANLandmarks:
     def pose_batch(self, crops: np.ndarray) -> np.ndarray:
         if len(crops) == 0:
             return np.zeros((0, 3))
+        from fvd_tpu.parallel.inference import shard_for_inference
+
         return np.asarray(
-            pose_forward(self.pose_params, jnp.asarray(crops), width=self.pose_width)
+            pose_forward(self.pose_params, shard_for_inference(jnp.asarray(crops)),
+                         width=self.pose_width)
         )
 
     def pose_boxes_batch(self, device_frames, boxes, owners) -> np.ndarray:

@@ -142,6 +142,8 @@ class JaxOCR:
     """OCRProvider: detector + recognizer, EasyOCR-shaped output."""
 
     model_name = "fvd_tpu_ocr"
+    #: device-forward provider: eligible for cross-video coalescing
+    coalescable = True
 
     def __init__(self, det_params=None, rec_params=None,
                  det_width: int = 16, rec_width: int = 32,
@@ -164,9 +166,13 @@ class JaxOCR:
 
         if len(images) == 0:
             return []
+        from fvd_tpu.parallel.inference import shard_for_inference
+
         det_in = np.stack([cv2.resize(im, (DET_SIZE, DET_SIZE)) for im in images])
         probs_maps = np.asarray(
-            detect_forward(self.det_params, jnp.asarray(det_in), width=self.det_width)
+            detect_forward(self.det_params,
+                           shard_for_inference(jnp.asarray(det_in)),
+                           width=self.det_width)
         )
 
         lines: List[np.ndarray] = []

@@ -89,16 +89,30 @@ def run(
         ela_dir = os.path.join(output_dir, "ela_analysis")
         os.makedirs(ela_dir, exist_ok=True)
 
-    analysis_results: List[Dict[str, Any]] = []
-    for i, face_data in enumerate(selected):
-        try:
-            crop = _load_crop(face_data["faces"][0])
-            if crop is None or crop.size == 0:
-                continue
+    # ELA for all selected crops in ONE shape-bucketed device dispatch; the
+    # FFT spectrum (global over each crop's exact shape) runs on host where
+    # arbitrary geometries cost nothing (see ops.forensics.fft_spectrum_host).
+    crops: List[Optional[np.ndarray]] = []
+    for face_data in selected:
+        crop = _load_crop(face_data["faces"][0])
+        crops.append(crop if crop is not None and crop.size else None)
+    present = [c for c in crops if c is not None]
+    try:
+        elas = iter(forensics.ela_batch(present, cfg.jpeg_quality))
+        ela_by_idx = [None if c is None else next(elas) for c in crops]
+    except Exception as e:
+        print(f"V5: ELA batch failed: {e}")
+        ela_by_idx = [None] * len(crops)
 
-            ela_dev, spec_dev = forensics.forensics_program(crop, cfg.jpeg_quality)
-            ela = np.asarray(ela_dev).astype(np.uint8)
-            spectrum = np.asarray(spec_dev).astype(np.uint8)
+    analysis_results: List[Dict[str, Any]] = []
+    for i, (face_data, crop) in enumerate(zip(selected, crops)):
+        try:
+            if crop is None or ela_by_idx[i] is None:
+                continue
+            ela = np.asarray(ela_by_idx[i]).astype(np.uint8)
+            spectrum = forensics.fft_spectrum_host(
+                forensics.rgb_to_gray_host(crop)
+            ).astype(np.uint8)
 
             if ela_dir:
                 import cv2

@@ -75,14 +75,9 @@ def jpeg_roundtrip_channel(channel: jax.Array, quality: int = 90) -> jax.Array:
     """Approximate one JPEG encode/decode cycle for a single channel
     (float [H, W], 0..255): blockwise DCT -> quantize -> dequantize -> IDCT."""
     h, w = channel.shape
-    D = jnp.asarray(dct_matrix())
-    Q = jnp.asarray(quant_table(quality))
-    blocks = _to_blocks(channel - 128.0)
-    coeffs = jnp.einsum("ij,njk,lk->nil", D, blocks, D, preferred_element_type=jnp.float32)
-    quantized = jnp.round(coeffs / Q) * Q
-    recon = jnp.einsum("ji,njk,kl->nil", D, quantized, D, preferred_element_type=jnp.float32)
-    out = _from_blocks(recon, h, w) + 128.0
-    return jnp.clip(out, 0.0, 255.0)
+    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = jnp.pad(channel, ((0, hp - h), (0, wp - w)), mode="edge")
+    return _roundtrip_padded(padded, quality)[:h, :w]
 
 
 @partial(jax.jit, static_argnames=("quality",))
@@ -108,6 +103,105 @@ def forensics_program(rgb: jax.Array, quality: int = 90):
     ela = ela_image(rgb, quality)
     spectrum = fft_spectrum(rgb_to_gray(rgb))
     return ela, spectrum
+
+
+def _roundtrip_padded(channel: jax.Array, quality: int) -> jax.Array:
+    """JPEG roundtrip for an already-8-multiple [HP, WP] channel (no slice)."""
+    hp, wp = channel.shape
+    D = jnp.asarray(dct_matrix())
+    Q = jnp.asarray(quant_table(quality))
+    blocks = (channel - 128.0).reshape(hp // 8, 8, wp // 8, 8).transpose(0, 2, 1, 3)
+    blocks = blocks.reshape(-1, 8, 8)
+    coeffs = jnp.einsum("ij,njk,lk->nil", D, blocks, D,
+                        preferred_element_type=jnp.float32)
+    quantized = jnp.round(coeffs / Q) * Q
+    recon = jnp.einsum("ji,njk,kl->nil", D, quantized, D,
+                       preferred_element_type=jnp.float32)
+    out = recon.reshape(hp // 8, wp // 8, 8, 8).transpose(0, 2, 1, 3).reshape(hp, wp)
+    return jnp.clip(out + 128.0, 0.0, 255.0)
+
+
+@partial(jax.jit, static_argnames=("quality",))
+def _ela_batch_program(crops: jax.Array, hw: jax.Array, quality: int):
+    """Masked per-crop ELA over a shape-bucketed batch.
+
+    ``crops`` uint8 [N, HB, WB, 3] edge-padded; ``hw`` int32 [N, 2] true
+    sizes.  Per crop the math matches :func:`ela_image` exactly: DCT blocks
+    are 8x8-local, so edge padding beyond ceil8(h/w) never touches the real
+    region, and the global rescale maxes over the unmasked area only.
+    """
+    hb, wb = crops.shape[1], crops.shape[2]
+    row_ids = jnp.arange(hb)[:, None]
+    col_ids = jnp.arange(wb)[None, :]
+
+    def one(crop, size):
+        x = crop.astype(jnp.float32)
+        recon = jnp.stack(
+            [_roundtrip_padded(x[..., c], quality) for c in range(3)], axis=-1
+        )
+        diff = jnp.abs(x - jnp.round(recon))
+        mask = ((row_ids < size[0]) & (col_ids < size[1]))[..., None]
+        diff = jnp.where(mask, diff, 0.0)
+        max_diff = jnp.maximum(jnp.max(diff), 1.0)
+        return jnp.clip(diff * (255.0 / max_diff), 0.0, 255.0)
+
+    return jax.vmap(one)(crops, hw)
+
+
+_ELA_BATCH_N = 4  # top_k_faces is 3; fixed N keeps one compile per HW bucket
+
+
+def ela_batch(crops, quality: int = 90):
+    """ELA images for a list of variable-size RGB uint8 crops in ONE device
+    dispatch.
+
+    Crops pad (edge mode) to a shared 64-quantized bucket and run through a
+    single vmapped program; results slice back to each crop's true size.
+    Shape buckets bound the compile count where per-crop jit would compile
+    for every distinct face-crop geometry (V5 sees arbitrary sizes,
+    reference ``v5:33-42`` top-3 selection).
+    """
+    if len(crops) == 0:
+        return []
+    step = 64
+    hb = max(step, -(-max(c.shape[0] for c in crops) // step) * step)
+    wb = max(step, -(-max(c.shape[1] for c in crops) // step) * step)
+    n = len(crops)
+    batch = np.zeros((_ELA_BATCH_N, hb, wb, 3), np.uint8)
+    hw = np.full((_ELA_BATCH_N, 2), 8, np.int32)
+    for i, c in enumerate(crops[:_ELA_BATCH_N]):
+        h, w = c.shape[:2]
+        batch[i] = np.pad(c, ((0, hb - h), (0, wb - w), (0, 0)), mode="edge")
+        hw[i] = (h, w)
+    out = np.asarray(_ela_batch_program(jnp.asarray(batch), jnp.asarray(hw), quality))
+    results = [out[i, : c.shape[0], : c.shape[1]] for i, c in enumerate(crops[:_ELA_BATCH_N])]
+    # >N crops (config raised above the bucket): per-crop fallback
+    for c in crops[_ELA_BATCH_N:]:
+        results.append(np.asarray(ela_image(jnp.asarray(c), quality)))
+    return results
+
+
+def rgb_to_gray_host(rgb: np.ndarray) -> np.ndarray:
+    """Host BT.601 luma (identical coefficients to :func:`rgb_to_gray`)."""
+    x = rgb.astype(np.float32)
+    return 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+
+
+def fft_spectrum_host(gray: np.ndarray) -> np.ndarray:
+    """Host twin of :func:`fft_spectrum`.
+
+    The 2D FFT is global over the exact crop shape, so a device version
+    compiles one program per distinct face-crop geometry — for a ~100px
+    crop the compile + dispatch round trip costs orders of magnitude more
+    than the transform itself.  V5 uses this host path; the device kernel
+    remains for batched/fixed-shape callers.
+    """
+    f = np.fft.fftshift(np.fft.fft2(gray.astype(np.float32)))
+    mag = 20.0 * np.log(np.abs(f) + 1.0)
+    lo, hi = float(mag.min()), float(mag.max())
+    if hi <= lo:
+        return np.zeros_like(mag, np.float32)
+    return ((mag - lo) * (255.0 / (hi - lo))).astype(np.float32)
 
 
 @jax.jit

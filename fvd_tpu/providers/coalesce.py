@@ -299,6 +299,86 @@ class CoalescingLandmarks:
         self._co.close()
 
 
+class CoalescingOCR:
+    """OCRProvider wrapper: concurrent videos' keyframe sets merge into one
+    detector forward at a fixed image bucket (the recognizer batches over
+    whatever regions the group produced, as the inner provider already
+    does)."""
+
+    def __init__(self, inner, bucket_images: int = 256, max_wait_ms: float = 6.0):
+        self.inner = inner
+        self.model_name = inner.model_name
+        self.bucket_images = bucket_images
+        self._co = _Coalescer(self._run_group, max_total=bucket_images,
+                              max_wait_ms=max_wait_ms)
+
+    def read_text(self, image: np.ndarray):
+        return self.read_text_batch([image])[0]
+
+    def read_text_batch(self, images) -> List[list]:
+        if len(images) == 0:
+            return []
+        return self._co.submit(("ocr",), len(images), list(images)).result()
+
+    def _run_group(self, key: tuple, payloads: List[List[np.ndarray]]) -> List[Any]:
+        lengths = [len(p) for p in payloads]
+        merged: List[np.ndarray] = [im for p in payloads for im in p]
+        total = len(merged)
+        pad_to = self.bucket_images if total <= self.bucket_images else total
+        # pad with tiny blank frames so the detector batch hits one compiled
+        # shape; their (empty) results are dropped on split
+        merged.extend(np.zeros((8, 8, 3), np.uint8) for _ in range(pad_to - total))
+        res = self.inner.read_text_batch(merged)
+        out, o = [], 0
+        for n in lengths:
+            out.append(res[o : o + n])
+            o += n
+        return out
+
+    def close(self) -> None:
+        self._co.close()
+
+
+class CoalescingClip:
+    """ClipProvider wrapper: paired (image, text) similarity requests from
+    concurrent videos merge into one dual-tower forward at a fixed bucket."""
+
+    def __init__(self, inner, bucket_pairs: int = 256, max_wait_ms: float = 6.0):
+        self.inner = inner
+        self.model_name = getattr(inner, "model_name", type(inner).__name__)
+        self.bucket_pairs = bucket_pairs
+        self._co = _Coalescer(self._run_group, max_total=bucket_pairs,
+                              max_wait_ms=max_wait_ms)
+
+    def image_text_similarity(self, image: np.ndarray, text: str) -> float:
+        return float(self.image_text_similarity_batch([image], [text])[0])
+
+    def image_text_similarity_batch(self, images, texts) -> np.ndarray:
+        if len(images) == 0:
+            return np.zeros((0,), np.float32)
+        return self._co.submit(
+            ("clip",), len(images), (list(images), list(texts))
+        ).result()
+
+    def _run_group(self, key: tuple, payloads: List[tuple]) -> List[np.ndarray]:
+        lengths = [len(im) for im, _ in payloads]
+        images: List[np.ndarray] = [im for ims, _ in payloads for im in ims]
+        texts: List[str] = [t for _, ts in payloads for t in ts]
+        total = len(images)
+        pad_to = self.bucket_pairs if total <= self.bucket_pairs else total
+        images.extend(np.zeros((8, 8, 3), np.uint8) for _ in range(pad_to - total))
+        texts.extend("" for _ in range(pad_to - total))
+        sims = np.asarray(self.inner.image_text_similarity_batch(images, texts))
+        out, o = [], 0
+        for n in lengths:
+            out.append(sims[o : o + n])
+            o += n
+        return out
+
+    def close(self) -> None:
+        self._co.close()
+
+
 def coalesce_providers(providers, bucket_frames: int = 512,
                        detect_bucket_frames: int = 256,
                        max_wait_ms: float = 6.0):
@@ -316,8 +396,11 @@ def coalesce_providers(providers, bucket_frames: int = 512,
     wrapped: List[Any] = []
     changes: Dict[str, Any] = {}
     lm = getattr(providers, "landmarks", None)
-    if isinstance(lm, CoalescingLandmarks) or isinstance(
-        getattr(providers, "face_detector", None), CoalescingDetector
+    if (
+        isinstance(lm, CoalescingLandmarks)
+        or isinstance(getattr(providers, "face_detector", None), CoalescingDetector)
+        or isinstance(getattr(providers, "ocr", None), CoalescingOCR)
+        or isinstance(getattr(providers, "clip", None), CoalescingClip)
     ):
         return providers, lambda: None  # already coalescing (idempotent)
     if lm is not None and getattr(lm, "accepts_device_frames", False):
@@ -331,6 +414,16 @@ def coalesce_providers(providers, bucket_frames: int = 512,
                                   max_wait_ms=max_wait_ms)
         changes["face_detector"] = cdet
         wrapped.append(cdet)
+    ocr = getattr(providers, "ocr", None)
+    if ocr is not None and getattr(ocr, "coalescable", False):
+        cocr = CoalescingOCR(ocr, max_wait_ms=max_wait_ms)
+        changes["ocr"] = cocr
+        wrapped.append(cocr)
+    clip = getattr(providers, "clip", None)
+    if clip is not None and getattr(clip, "coalescable", False):
+        cclip = CoalescingClip(clip, max_wait_ms=max_wait_ms)
+        changes["clip"] = cclip
+        wrapped.append(cclip)
 
     if not changes:
         return providers, lambda: None

@@ -94,6 +94,9 @@ CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 class HFClip:
     """ClipProvider protocol over FlaxCLIPModel (CLIP ViT-B/32 role)."""
 
+    #: device-forward provider: eligible for cross-video coalescing
+    coalescable = True
+
     def __init__(self, model, tokenize: Callable[[List[str]], Dict[str, np.ndarray]],
                  image_size: Optional[int] = None):
         import jax

@@ -7,8 +7,10 @@ import pytest
 
 from fvd_tpu.providers import Providers
 from fvd_tpu.providers.coalesce import (
+    CoalescingClip,
     CoalescingDetector,
     CoalescingLandmarks,
+    CoalescingOCR,
     coalesce_providers,
 )
 
@@ -216,6 +218,80 @@ def test_coalesce_providers_wraps_only_device_models():
         again, close2 = coalesce_providers(wrapped)
         assert again is wrapped
         close2()
+    finally:
+        close()
+
+
+class FakeOCR:
+    model_name = "fake_ocr"
+    coalescable = True
+
+    def __init__(self):
+        self.calls = []
+
+    def read_text_batch(self, images):
+        self.calls.append(len(images))
+        return [[{"text": str(int(im[0, 0, 0])), "confidence": 1.0}]
+                if im[0, 0, 0] else [] for im in images]
+
+
+class FakeClip:
+    model_name = "fake_clip"
+    coalescable = True
+
+    def __init__(self):
+        self.calls = []
+
+    def image_text_similarity_batch(self, images, texts):
+        self.calls.append(len(images))
+        return np.array([float(im[0, 0, 0]) / 100.0 for im in images])
+
+
+def test_ocr_coalesce_pads_and_splits():
+    inner = FakeOCR()
+    co = CoalescingOCR(inner, bucket_images=32, max_wait_ms=80.0)
+    try:
+        a = [np.full((8, 8, 3), 3, np.uint8)] * 4
+        b = [np.full((8, 8, 3), 7, np.uint8)] * 6
+        (ra, rb), errs = _submit_concurrently([
+            lambda: co.read_text_batch(a),
+            lambda: co.read_text_batch(b),
+        ])
+        assert not errs
+        assert inner.calls == [32]  # one padded group
+        assert [d[0]["text"] for d in ra] == ["3"] * 4
+        assert [d[0]["text"] for d in rb] == ["7"] * 6
+        # single-image convenience path
+        assert co.read_text(np.full((8, 8, 3), 9, np.uint8))[0]["text"] == "9"
+    finally:
+        co.close()
+
+
+def test_clip_coalesce_pairs():
+    inner = FakeClip()
+    co = CoalescingClip(inner, bucket_pairs=16, max_wait_ms=80.0)
+    try:
+        a_imgs = [np.full((4, 4, 3), 50, np.uint8)] * 3
+        b_imgs = [np.full((4, 4, 3), 80, np.uint8)] * 2
+        (ra, rb), errs = _submit_concurrently([
+            lambda: co.image_text_similarity_batch(a_imgs, ["x"] * 3),
+            lambda: co.image_text_similarity_batch(b_imgs, ["y"] * 2),
+        ])
+        assert not errs
+        assert inner.calls == [16]
+        np.testing.assert_allclose(ra, [0.5] * 3)
+        np.testing.assert_allclose(rb, [0.8] * 2)
+        assert co.image_text_similarity(a_imgs[0], "z") == 0.5
+    finally:
+        co.close()
+
+
+def test_coalesce_providers_wraps_marked_ocr_clip():
+    bundle = Providers(ocr=FakeOCR(), clip=FakeClip())
+    wrapped, close = coalesce_providers(bundle)
+    try:
+        assert isinstance(wrapped.ocr, CoalescingOCR)
+        assert isinstance(wrapped.clip, CoalescingClip)
     finally:
         close()
 

@@ -65,6 +65,41 @@ def test_rgb_to_gray_bt601():
     assert gray[0, 0] == pytest.approx(0.587 * 255, rel=1e-5)
 
 
+def test_ela_batch_matches_per_crop_for_mixed_shapes():
+    """The shape-bucketed batched program must reproduce the per-crop kernel
+    exactly (masked max + edge padding never leak into the real region)."""
+    rng = np.random.RandomState(1)
+    crops = [
+        rng.randint(0, 255, (33, 47, 3)).astype(np.uint8),
+        rng.randint(0, 255, (64, 64, 3)).astype(np.uint8),
+        rng.randint(0, 255, (50, 21, 3)).astype(np.uint8),
+    ]
+    batched = forensics.ela_batch(crops, 90)
+    for crop, got in zip(crops, batched):
+        want = np.asarray(forensics.ela_image(jnp.asarray(crop), 90))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_ela_batch_overflow_falls_back_per_crop():
+    rng = np.random.RandomState(2)
+    crops = [rng.randint(0, 255, (24, 24, 3)).astype(np.uint8) for _ in range(6)]
+    batched = forensics.ela_batch(crops, 90)
+    assert len(batched) == 6
+    want = np.asarray(forensics.ela_image(jnp.asarray(crops[5]), 90))
+    np.testing.assert_allclose(batched[5], want, atol=1e-3)
+
+
+def test_fft_spectrum_host_matches_device():
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 255, (48, 72)).astype(np.float32)
+    host = forensics.fft_spectrum_host(gray)
+    dev = np.asarray(forensics.fft_spectrum(jnp.asarray(gray)))
+    np.testing.assert_allclose(host, dev, atol=2e-2)
+    # degenerate all-zero input: magnitude map is constant -> zero guard
+    assert forensics.fft_spectrum_host(np.zeros((16, 16), np.float32)).max() == 0.0
+
+
 # ---------------------------------------------------------------------------
 # V5 node behavior (reference tests/test_v5_texture_ela.py semantics)
 # ---------------------------------------------------------------------------

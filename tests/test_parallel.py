@@ -109,3 +109,60 @@ def test_graft_entry_contract():
     prob, lip = [float(x) for x in out]
     assert 0.0 <= prob <= 1.0
     g.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel sharded inference (parallel/inference.py)
+# ---------------------------------------------------------------------------
+def test_sharded_detector_matches_single_device():
+    """SSD forward with the batch dim sharded over the 8-device mesh must
+    produce the single-device results (items are independent)."""
+    from fvd_tpu.models.face_ssd import SSDFaceDetector
+    from fvd_tpu.parallel.inference import set_inference_mesh
+
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (16, 48, 64, 3)).astype(np.uint8)
+    det = SSDFaceDetector(width=8)
+
+    base = det.detect_batch(frames)
+    prev = set_inference_mesh(make_mesh(n_data=8, n_time=1))
+    try:
+        sharded = det.detect_batch(frames)
+    finally:
+        set_inference_mesh(prev)
+
+    assert len(base) == len(sharded) == 16
+    for b_dets, s_dets in zip(base, sharded):
+        assert len(b_dets) == len(s_dets)
+        for b, s in zip(b_dets, s_dets):
+            np.testing.assert_allclose(
+                [b.x1, b.y1, b.x2, b.y2, b.confidence],
+                [s.x1, s.y1, s.x2, s.y2, s.confidence],
+                rtol=1e-5, atol=1e-4,
+            )
+
+
+def test_shard_for_inference_falls_back_when_indivisible():
+    from fvd_tpu.parallel.inference import (
+        set_inference_mesh,
+        shard_for_inference,
+    )
+
+    x = jnp.ones((6, 4))  # 6 % 8 != 0
+    prev = set_inference_mesh(make_mesh(n_data=8, n_time=1))
+    try:
+        out = shard_for_inference(x)
+        assert out is x  # replicated fallback, no resharding
+        y = jnp.ones((16, 4))
+        sharded = shard_for_inference(y)
+        assert sharded.sharding.is_fully_replicated is False
+    finally:
+        set_inference_mesh(prev)
+
+
+def test_shard_for_inference_noop_without_mesh():
+    from fvd_tpu.parallel.inference import get_inference_mesh, shard_for_inference
+
+    assert get_inference_mesh() is None
+    x = jnp.ones((8, 4))
+    assert shard_for_inference(x) is x
