@@ -173,7 +173,7 @@ class SSDFaceDetector:
         # inference mesh's data axis when one is configured (no-op on one
         # device — see parallel/inference.py)
         boxes, scores = detect_batch_jit(
-            self.params, shard_for_inference(jnp.asarray(frames)),
+            self.params, shard_for_inference(frames),
             width=self.width, max_out=self.max_out
         )
         boxes = np.asarray(boxes)

@@ -314,7 +314,7 @@ class FANLandmarks:
             ]
             coords = np.asarray(
                 landmarks_forward(self.landmark_params,
-                                  shard_for_inference(jnp.asarray(np.stack(crops))),
+                                  shard_for_inference(np.stack(crops)),
                                   width=self.width)
             )
         for (x1, y1, x2, y2), owner, c in zip(boxes, owners, coords):
@@ -330,7 +330,7 @@ class FANLandmarks:
         from fvd_tpu.parallel.inference import shard_for_inference
 
         return np.asarray(
-            pose_forward(self.pose_params, shard_for_inference(jnp.asarray(crops)),
+            pose_forward(self.pose_params, shard_for_inference(np.asarray(crops)),
                          width=self.pose_width)
         )
 

@@ -170,8 +170,7 @@ class JaxOCR:
 
         det_in = np.stack([cv2.resize(im, (DET_SIZE, DET_SIZE)) for im in images])
         probs_maps = np.asarray(
-            detect_forward(self.det_params,
-                           shard_for_inference(jnp.asarray(det_in)),
+            detect_forward(self.det_params, shard_for_inference(det_in),
                            width=self.det_width)
         )
 

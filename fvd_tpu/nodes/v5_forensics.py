@@ -94,21 +94,31 @@ def run(
     # arbitrary geometries cost nothing (see ops.forensics.fft_spectrum_host).
     crops: List[Optional[np.ndarray]] = []
     for face_data in selected:
-        crop = _load_crop(face_data["faces"][0])
+        try:  # per-face isolation: one bad entry never loses the others
+            crop = _load_crop(face_data["faces"][0])
+        except Exception as e:
+            print(f"V5: error loading face crop: {e}")
+            crop = None
         crops.append(crop if crop is not None and crop.size else None)
     present = [c for c in crops if c is not None]
     try:
         elas = iter(forensics.ela_batch(present, cfg.jpeg_quality))
         ela_by_idx = [None if c is None else next(elas) for c in crops]
     except Exception as e:
-        print(f"V5: ELA batch failed: {e}")
-        ela_by_idx = [None] * len(crops)
+        print(f"V5: ELA batch failed, falling back per-crop: {e}")
+        ela_by_idx = [None] * len(crops)  # per-face fallback below
 
     analysis_results: List[Dict[str, Any]] = []
     for i, (face_data, crop) in enumerate(zip(selected, crops)):
         try:
-            if crop is None or ela_by_idx[i] is None:
+            if crop is None:
                 continue
+            if ela_by_idx[i] is None:  # batch failed: isolate per crop
+                import jax.numpy as jnp
+
+                ela_by_idx[i] = np.asarray(
+                    forensics.ela_image(jnp.asarray(crop), cfg.jpeg_quality)
+                )
             ela = np.asarray(ela_by_idx[i]).astype(np.uint8)
             spectrum = forensics.fft_spectrum_host(
                 forensics.rgb_to_gray_host(crop)

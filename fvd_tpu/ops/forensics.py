@@ -55,21 +55,6 @@ def dct_matrix() -> np.ndarray:
     return (M * 0.5).astype(np.float32)
 
 
-def _to_blocks(img: jax.Array) -> jax.Array:
-    """[H, W] -> [H/8 * W/8, 8, 8] (H, W padded to multiples of 8)."""
-    h, w = img.shape
-    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
-    img = jnp.pad(img, ((0, hp - h), (0, wp - w)), mode="edge")
-    blocks = img.reshape(hp // 8, 8, wp // 8, 8).transpose(0, 2, 1, 3)
-    return blocks.reshape(-1, 8, 8)
-
-
-def _from_blocks(blocks: jax.Array, h: int, w: int) -> jax.Array:
-    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
-    img = blocks.reshape(hp // 8, wp // 8, 8, 8).transpose(0, 2, 1, 3).reshape(hp, wp)
-    return img[:h, :w]
-
-
 @partial(jax.jit, static_argnames=("quality",))
 def jpeg_roundtrip_channel(channel: jax.Array, quality: int = 90) -> jax.Array:
     """Approximate one JPEG encode/decode cycle for a single channel
@@ -166,7 +151,6 @@ def ela_batch(crops, quality: int = 90):
     step = 64
     hb = max(step, -(-max(c.shape[0] for c in crops) // step) * step)
     wb = max(step, -(-max(c.shape[1] for c in crops) // step) * step)
-    n = len(crops)
     batch = np.zeros((_ELA_BATCH_N, hb, wb, 3), np.uint8)
     hw = np.full((_ELA_BATCH_N, 2), 8, np.int32)
     for i, c in enumerate(crops[:_ELA_BATCH_N]):

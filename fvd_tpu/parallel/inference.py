@@ -42,11 +42,14 @@ def get_inference_mesh():
 
 
 def shard_for_inference(x):
-    """Place batched array ``x`` with its leading dim sharded over the
-    mesh's ``data`` axis.
+    """Place batched array ``x`` (host numpy or device array) with its
+    leading dim sharded over the mesh's ``data`` axis.
 
-    No mesh / 1-device mesh / non-divisible batch -> returned unchanged
-    (replicated single-device execution, bit-identical results).
+    Pass host arrays directly — ``device_put`` then shards straight from
+    host memory (one transfer), instead of committing to one device first
+    and resharding.  No mesh / 1-device mesh / non-divisible batch ->
+    returned unchanged (replicated single-device execution, bit-identical
+    results; jit accepts numpy operands).
     """
     mesh = _inference_mesh
     if mesh is None or mesh.size <= 1:

@@ -33,6 +33,9 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 
+_stats_lock = threading.Lock()
+
+
 @dataclass
 class _Req:
     key: tuple
@@ -51,35 +54,54 @@ class _Coalescer:
     """
 
     def __init__(self, run_group: Callable[[tuple, List[Any]], List[Any]],
-                 max_total: int, max_wait_ms: float = 6.0):
+                 max_total: int, max_wait_ms: float = 6.0,
+                 run_threads: int = 2):
+        from concurrent.futures import ThreadPoolExecutor
+
         self.run_group = run_group
         self.max_total = max_total
         self.max_wait_s = max_wait_ms / 1000.0
         self._q: "queue.Queue[Optional[_Req]]" = queue.Queue()
         self._running = True
+        self._state_lock = threading.Lock()  # serializes submit vs close
         self.groups_run = 0
         self.items_served = 0
+        # group execution runs on a small pool so consecutive groups'
+        # dispatch+fetch round trips pipeline instead of serializing behind
+        # the batching thread (the device still orders the programs)
+        self._runners = ThreadPoolExecutor(max_workers=max(1, run_threads),
+                                           thread_name_prefix="fvd-coalesce-run")
         self._thread = threading.Thread(target=self._worker, daemon=True,
                                         name="fvd-coalesce")
         self._thread.start()
 
     def submit(self, key: tuple, size: int, payload: Any) -> Future:
         fut: Future = Future()
-        if not self._running:
-            fut.set_exception(RuntimeError("coalescer is closed"))
-            return fut
-        self._q.put(_Req(key, size, payload, fut))
+        # the check and the enqueue are atomic w.r.t. close(): a request can
+        # never slip in after the shutdown sentinel and hang its caller
+        with self._state_lock:
+            if not self._running:
+                fut.set_exception(RuntimeError("coalescer is closed"))
+                return fut
+            self._q.put(_Req(key, size, payload, fut))
         return fut
 
     def close(self) -> None:
-        self._running = False
-        self._q.put(None)
+        with self._state_lock:
+            self._running = False
+            self._q.put(None)
         self._thread.join(timeout=10)
+        self._runners.shutdown(wait=True)
 
     def _drain_window(self, first: _Req) -> List[_Req]:
         items = [first]
+        totals: Dict[tuple, int] = {first.key: first.size}
         t0 = time.monotonic()
         while True:
+            # a key whose accumulated size already fills the bucket cannot
+            # pack better — stop sleeping and run
+            if any(t >= self.max_total for t in totals.values()):
+                return items
             remaining = self.max_wait_s - (time.monotonic() - t0)
             if remaining <= 0:
                 return items
@@ -91,6 +113,7 @@ class _Coalescer:
                 self._running = False
                 return items
             items.append(nxt)
+            totals[nxt.key] = totals.get(nxt.key, 0) + nxt.size
 
     def _worker(self) -> None:
         while True:
@@ -112,7 +135,7 @@ class _Coalescer:
                         total += r.size
                         continue
                     if chunk:
-                        self._run_chunk(key, chunk)
+                        self._runners.submit(self._run_chunk, key, chunk)
                     chunk = [r] if r is not None else []
                     total = r.size if r is not None else 0
         # fail anything still queued
@@ -127,8 +150,9 @@ class _Coalescer:
     def _run_chunk(self, key: tuple, chunk: List[_Req]) -> None:
         try:
             results = self.run_group(key, [r.payload for r in chunk])
-            self.groups_run += 1
-            self.items_served += len(chunk)
+            with _stats_lock:
+                self.groups_run += 1
+                self.items_served += len(chunk)
             for r, res in zip(chunk, results):
                 r.fut.set_result(res)
         except BaseException as e:
@@ -141,21 +165,23 @@ def _shape_hw(frames) -> Tuple[int, int]:
 
 
 def _concat_pad_device(devs: Sequence[Any], pad_to: int):
-    """Concatenate HBM frame tensors along T and zero-pad to ``pad_to``."""
+    """Concatenate device batches along dim 0 and zero-pad to ``pad_to``
+    (item shape + dtype taken from the inputs)."""
     import jax.numpy as jnp
 
     total = sum(int(d.shape[0]) for d in devs)
     parts = list(devs)
     if pad_to > total:
-        h, w = int(devs[0].shape[1]), int(devs[0].shape[2])
-        parts.append(jnp.zeros((pad_to - total, h, w, 3), jnp.uint8))
+        parts.append(
+            jnp.zeros((pad_to - total, *devs[0].shape[1:]), devs[0].dtype)
+        )
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def _concat_pad_host(frames_list: Sequence[np.ndarray], pad_to: int) -> np.ndarray:
     total = sum(len(f) for f in frames_list)
-    h, w = frames_list[0].shape[1:3]
-    out = np.zeros((max(pad_to, total), h, w, 3), np.uint8)
+    first = np.asarray(frames_list[0])
+    out = np.zeros((max(pad_to, total), *first.shape[1:]), first.dtype)
     o = 0
     for f in frames_list:
         out[o : o + len(f)] = f

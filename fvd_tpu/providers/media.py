@@ -157,6 +157,21 @@ class _FrameCache:
 _frame_cache = _FrameCache()
 
 
+def _accepts_device_frames_kwarg(provider) -> bool:
+    """Does ``provider.landmarks_batch`` take a ``device_frames`` kwarg?"""
+    import inspect
+
+    try:
+        sig = inspect.signature(provider.landmarks_batch)
+    except (TypeError, ValueError):
+        return False
+    params = sig.parameters.values()
+    return any(
+        p.name == "device_frames" or p.kind is inspect.Parameter.VAR_KEYWORD
+        for p in params
+    )
+
+
 class _LandmarkShare:
     """Cross-branch model-result sharing.
 
@@ -192,9 +207,12 @@ class _LandmarkShare:
             with self._global:
                 if key in self._results:
                     return self._results[key][1]
-            try:
+            # Signature-probe (not try/except TypeError: a coalesced group
+            # forward can legitimately raise TypeError for dtype/shape
+            # errors, which must propagate, not silently retry host-side).
+            if _accepts_device_frames_kwarg(provider):
                 result = provider.landmarks_batch(frames, device_frames=device_frames)
-            except TypeError:
+            else:
                 result = provider.landmarks_batch(frames)
             with self._global:
                 self._results[key] = (provider, result)
