@@ -29,6 +29,12 @@ def main(argv=None) -> int:
     parser.add_argument("--frontend-term", action="store_true",
                         help="Launch the terminal UI instead of the web UI")
     parser.add_argument("--port", type=int, default=8861, help="web UI port")
+    parser.add_argument("--stream", action="store_true",
+                        help="progressive analysis: print a running "
+                             "fake-probability as the video is processed "
+                             "chunk by chunk (vision+audio features)")
+    parser.add_argument("--chunk-seconds", type=float, default=5.0,
+                        help="prefix chunk size for --stream")
     args = parser.parse_args(argv)
 
     # Entry points run the best-available models (trained checkpoints, HF
@@ -56,6 +62,22 @@ def main(argv=None) -> int:
     if args.label is not None and args.label not in (0, 1):
         print("Label must be 0 or 1 if provided.")
         return 1
+
+    if args.stream:
+        from fvd_tpu.streaming import analyze_progressive
+
+        last = None
+        for u in analyze_progressive(args.input_path,
+                                     chunk_seconds=args.chunk_seconds):
+            last = u
+            print(f"[{u.t_end:6.1f}s {100 * u.fraction:5.1f}%] "
+                  f"lip_sync={u.features['lip_sync']:.3f} "
+                  f"p={u.fake_probability:.4f}", flush=True)
+        if last is None:
+            print("No analyzable frames (missing landmark model or video).")
+            return 1
+        print("Fake probability:", last.fake_probability)
+        return 0
 
     state = State(input_path=args.input_path, debug=args.debug)
     if args.label is not None:
