@@ -66,6 +66,14 @@ def main(argv=None) -> int:
     if args.stream:
         from fvd_tpu.streaming import analyze_progressive
 
+        if args.input_path.startswith(("http://", "https://")):
+            print("--stream analyzes a local file as it is read; download "
+                  "the URL first (or run without --stream to ingest it).")
+            return 1
+        if args.label is not None:
+            print("Note: --stream is scoring-only; the label is ignored "
+                  "(run without --stream for an online training update).")
+
         last = None
         for u in analyze_progressive(args.input_path,
                                      chunk_seconds=args.chunk_seconds):

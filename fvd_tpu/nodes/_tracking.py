@@ -46,6 +46,52 @@ class TrackerConfig:
     pad_frac: float = 0.0  # V4 pads the stored box by 10%
 
 
+def track_chunk(
+    all_landmarks: Sequence[Sequence[np.ndarray]],
+    kept_ids: Sequence[int],
+    fps: float,
+    tracker: "FaceTracker",
+    *,
+    n_pts: int = 68,
+    dim: int = 2,
+    collect_boxes: bool = False,
+    processed: int = 0,
+):
+    """Per-frame track selection for one decoded chunk (shared by V3, V4
+    and the progressive streaming analyzer — one implementation of the
+    select/record step so the three paths can never drift).
+
+    ``all_landmarks``: per-frame candidate landmark sets (the provider
+    forward's output).  Returns ``(times [T] f64, raw [T, n_pts, dim],
+    valid [T] bool, boxes)`` where ``boxes`` is the tracker's (possibly
+    padded) active box per selected frame when ``collect_boxes`` else None.
+    2D landmark sets are zero-extended to ``dim`` (V4's 3D track with a 2D
+    provider).
+    """
+    T = len(kept_ids)
+    times = np.array(
+        [fid / fps if fps else processed + i for i, fid in enumerate(kept_ids)],
+        np.float64,
+    )
+    raw = np.zeros((T, n_pts, dim), np.float64)
+    valid = np.zeros(T, bool)
+    boxes: Optional[List[Optional[List[int]]]] = [None] * T if collect_boxes else None
+    for i, lm_list in enumerate(all_landmarks):
+        idx = tracker.select([np.asarray(lm)[:, :2] for lm in lm_list])
+        if idx == -1:
+            continue
+        lm = np.asarray(lm_list[idx], np.float64)
+        if lm.shape[1] < dim:
+            lm = np.concatenate(
+                [lm, np.zeros((lm.shape[0], dim - lm.shape[1]))], axis=1
+            )
+        raw[i] = lm[:n_pts, :dim]
+        valid[i] = True
+        if boxes is not None:
+            boxes[i] = list(tracker.active_box)
+    return times, raw, valid, boxes
+
+
 class FaceTracker:
     """Per-video sequential track selector."""
 

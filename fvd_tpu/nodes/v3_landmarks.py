@@ -20,7 +20,12 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 
 from fvd_tpu.config import Config, default_config
-from fvd_tpu.nodes._tracking import FaceTracker, TrackerConfig, landmark_box
+from fvd_tpu.nodes._tracking import (
+    FaceTracker,
+    TrackerConfig,
+    landmark_box,
+    track_chunk,
+)
 from fvd_tpu.ops.filters import one_euro_init_carry, one_euro_scan_chunk
 from fvd_tpu.providers import Providers, get_providers
 from fvd_tpu.providers.media import (
@@ -105,18 +110,11 @@ def run(
                                                  providers.landmarks, frames, dev)
 
             T = len(kept_ids)
-            times = np.array(
-                [fid / fps if fps else processed + i for i, fid in enumerate(kept_ids)],
-                np.float64,
-            )
-            raw_track = np.zeros((T, n_pts, 2), np.float64)
-            valid = np.zeros(T, bool)
             with tracer.span("v3/track"):
-                for i, lm_list in enumerate(all_landmarks):
-                    idx = tracker.select([np.asarray(lm)[:, :2] for lm in lm_list])
-                    if idx != -1:
-                        raw_track[i] = np.asarray(lm_list[idx])[:n_pts, :2]
-                        valid[i] = True
+                times, raw_track, valid, _ = track_chunk(
+                    all_landmarks, kept_ids, fps, tracker,
+                    n_pts=n_pts, dim=2, processed=processed,
+                )
 
             # Chunk-resumable OneEuro smoothing (v3:204-209 semantics).
             with tracer.span("v3/smooth"):

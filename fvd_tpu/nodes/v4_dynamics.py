@@ -21,7 +21,7 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 
 from fvd_tpu.config import Config, default_config
-from fvd_tpu.nodes._tracking import FaceTracker, TrackerConfig
+from fvd_tpu.nodes._tracking import FaceTracker, TrackerConfig, track_chunk
 from fvd_tpu.ops.filters import one_euro_init_carry, v4_smooth_chunk
 from fvd_tpu.providers import Providers, get_providers
 from fvd_tpu.providers.media import (
@@ -115,25 +115,12 @@ def run(
                                                  providers.landmarks, frames, dev)
 
             T = len(kept_ids)
-            times = np.array(
-                [fid / fps if fps else processed + i for i, fid in enumerate(kept_ids)],
-                np.float64,
-            )
-            raw_track = np.zeros((T, n_pts, dim), np.float64)
-            valid = np.zeros(T, bool)
-            crop_boxes: List[Optional[List[int]]] = [None] * T
             with tracer.span("v4/track"):
-                for i, lm_list in enumerate(all_landmarks):
-                    idx = tracker.select([np.asarray(lm)[:, :2] for lm in lm_list])
-                    if idx != -1:
-                        lm = np.asarray(lm_list[idx], np.float64)
-                        if lm.shape[1] < dim:  # 2D provider: zero z
-                            lm = np.concatenate(
-                                [lm, np.zeros((lm.shape[0], dim - lm.shape[1]))], axis=1
-                            )
-                        raw_track[i] = lm[:n_pts]
-                        valid[i] = True
-                        crop_boxes[i] = list(tracker.active_box)  # already padded
+                times, raw_track, valid, crop_boxes = track_chunk(
+                    all_landmarks, kept_ids, fps, tracker,
+                    n_pts=n_pts, dim=dim, collect_boxes=True,  # boxes pre-padded
+                    processed=processed,
+                )
 
             # Pose: ONE batched forward per chunk (v4:267-287); with the
             # HBM-resident tensor the crops are gathered on device (zero

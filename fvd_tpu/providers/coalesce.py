@@ -33,9 +33,6 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 
-_stats_lock = threading.Lock()
-
-
 @dataclass
 class _Req:
     key: tuple
@@ -64,6 +61,7 @@ class _Coalescer:
         self._q: "queue.Queue[Optional[_Req]]" = queue.Queue()
         self._running = True
         self._state_lock = threading.Lock()  # serializes submit vs close
+        self._stats_lock = threading.Lock()
         self.groups_run = 0
         self.items_served = 0
         # group execution runs on a small pool so consecutive groups'
@@ -98,9 +96,11 @@ class _Coalescer:
         totals: Dict[tuple, int] = {first.key: first.size}
         t0 = time.monotonic()
         while True:
-            # a key whose accumulated size already fills the bucket cannot
-            # pack better — stop sleeping and run
-            if any(t >= self.max_total for t in totals.values()):
+            # homogeneous window whose one key already fills the bucket:
+            # stop sleeping and run.  With mixed keys pending, keep the
+            # window open — exiting early would flush the other keys as
+            # under-filled groups.
+            if len(totals) == 1 and next(iter(totals.values())) >= self.max_total:
                 return items
             remaining = self.max_wait_s - (time.monotonic() - t0)
             if remaining <= 0:
@@ -150,7 +150,7 @@ class _Coalescer:
     def _run_chunk(self, key: tuple, chunk: List[_Req]) -> None:
         try:
             results = self.run_group(key, [r.payload for r in chunk])
-            with _stats_lock:
+            with self._stats_lock:
                 self.groups_run += 1
                 self.items_served += len(chunk)
             for r, res in zip(chunk, results):

@@ -3,12 +3,14 @@
 No reference analog — the reference (SURVEY §5 "long-context": it
 *downsamples* instead of scaling) always analyzes the finished file.  This
 layer analyzes a video incrementally: frames stream through the same
-chunked decode + landmark-track machinery the V3 node uses (shared frame
-cache, ``FaceTracker``, chunk-resumable OneEuro carries), and after every
-chunk the accumulated tracks re-score through the REAL C1 + LR node
-functions on a prefix state — so each update's ``lip_sync`` / ``blink_rate``
-/ ``fake_probability`` is exactly what the batch pipeline would report for
-a video truncated at that point (vision + audio features; ASR / web
+chunked decode + landmark-track machinery the V3/V4 nodes use (shared
+frame cache, the shared ``track_chunk`` selector — V3's aspect-gated track
+for the mouth series, V4's gate-free padded track + fused EAR smoothing
+for the blink series — and chunk-resumable OneEuro carries), and after
+every chunk the accumulated tracks re-score through the REAL C1 + LR node
+functions on a prefix state: each update's ``lip_sync`` / ``blink_rate``
+/ ``fake_probability`` is what the batch pipeline's vision+audio features
+would report for a video truncated at that point (ASR, head-pose and web
 evidence features join only in a full pipeline run).
 
 Use cases: early-exit moderation (stop paying for a video once the
@@ -29,10 +31,14 @@ import numpy as np
 
 from fvd_tpu.config import Config, default_config
 from fvd_tpu.nodes import c1_lipsync
-from fvd_tpu.nodes._tracking import FaceTracker, TrackerConfig
+from fvd_tpu.nodes._tracking import FaceTracker, TrackerConfig, track_chunk
 from fvd_tpu.nodes.lr_fusion import build_features, load_weights
 from fvd_tpu.ops import fusion
-from fvd_tpu.ops.filters import one_euro_init_carry, one_euro_scan_chunk
+from fvd_tpu.ops.filters import (
+    one_euro_init_carry,
+    one_euro_scan_chunk,
+    v4_smooth_chunk,
+)
 from fvd_tpu.providers import Providers, get_providers
 from fvd_tpu.providers.media import (
     StreamingSampler,
@@ -44,32 +50,31 @@ from fvd_tpu.state import State
 from fvd_tpu.utils.wav import read_wav, to_mono
 
 
-def _eye_aspect_ratio(eye: np.ndarray) -> float:
-    """EAR over 6 eye points (reference ``v4:50-55`` formula)."""
-    a = np.linalg.norm(eye[1] - eye[5])
-    b = np.linalg.norm(eye[2] - eye[4])
-    c = np.linalg.norm(eye[0] - eye[3])
-    return float((a + b) / (2.0 * c)) if c > 0 else 0.0
-
-
 def _load_envelope(video_path: str, fps: float, duration: float) -> Optional[np.ndarray]:
     """Full-length A3-style RMS envelope (``hop = sr/fps``, ``frame = 2*hop``,
     interpolated to ``duration*fps`` samples).  Audio comes from a sibling
     ``.wav`` or the native shim — computed once; prefixes slice it."""
     from fvd_tpu.providers.media import extract_audio
 
+    tmpdir = None
     wav = os.path.splitext(video_path)[0] + ".wav"
-    if not os.path.exists(wav):
-        import tempfile
-
-        candidate = os.path.join(tempfile.mkdtemp(prefix="fvd_stream_"), "audio.wav")
-        wav = extract_audio(video_path, candidate)
-        if wav is None:
-            return None
     try:
-        samples, sr = read_wav(wav)
-    except Exception:
-        return None
+        if not os.path.exists(wav):
+            import tempfile
+
+            tmpdir = tempfile.mkdtemp(prefix="fvd_stream_")
+            wav = extract_audio(video_path, os.path.join(tmpdir, "audio.wav"))
+            if wav is None:
+                return None
+        try:
+            samples, sr = read_wav(wav)
+        except Exception:
+            return None
+    finally:
+        if tmpdir is not None:  # extracted wav is dead once read
+            import shutil
+
+            shutil.rmtree(tmpdir, ignore_errors=True)
     import jax.numpy as jnp
 
     from fvd_tpu.ops.spectral import interp_to_length, rms_envelope
@@ -118,9 +123,11 @@ class ProgressiveAnalyzer:
             return
         chunk_frames = max(1, int(round(self.chunk_seconds * cfg.sample_fps)))
 
-        # Same tracker/smoothing configuration as the V3 node (its
-        # mouth_landmarks feed C1 in the batch pipeline).
-        tracker = FaceTracker(
+        # Two trackers, exactly as the batch pipeline runs them: V3's
+        # aspect-gated track feeds mouth landmarks / C1, V4's gate-free
+        # padded track feeds the blink (EAR) series (fvd_tpu.nodes
+        # v3_landmarks / v4_dynamics share the same track_chunk helper).
+        tracker_v3 = FaceTracker(
             TrackerConfig(
                 frame_width=meta.width,
                 frame_height=meta.height,
@@ -130,7 +137,19 @@ class ProgressiveAnalyzer:
                 aspect_range=cfg.aspect_ratio_range,
             )
         )
+        tracker_v4 = FaceTracker(
+            TrackerConfig(
+                frame_width=meta.width,
+                frame_height=meta.height,
+                min_face_frac=cfg.min_face_frac,
+                iou_min=cfg.track_iou_min,
+                aspect_gate=False,
+                pad_frac=cfg.pose_crop_pad_frac,
+            )
+        )
         carry = one_euro_init_carry((68, 2))
+        lm4_carry = one_euro_init_carry((68, 3))
+        pose_carry = one_euro_init_carry((3,))
         envelope = _load_envelope(self.video_path, fps, duration)
         weights = load_weights(self.config.fusion.weights_path)
 
@@ -138,44 +157,57 @@ class ProgressiveAnalyzer:
         blink_data: List[Dict[str, Any]] = []
         any_face = False
         chunk_index = 0
+        processed = 0
 
         for frames, kept_ids in StreamingSampler(self.video_path, sample_ids,
                                                  chunk_size=chunk_frames):
             T = len(kept_ids)
-            times = np.array([fid / fps for fid in kept_ids], np.float64)
             dev = (device_frames_for(self.video_path, kept_ids, frames)
                    if getattr(providers.landmarks, "accepts_device_frames", False)
                    else None)
             all_landmarks = shared_landmarks(self.video_path, kept_ids,
                                              providers.landmarks, frames, dev)
 
-            raw = np.zeros((T, 68, 2), np.float64)
-            valid = np.zeros(T, bool)
-            for i, lm_list in enumerate(all_landmarks):
-                idx = tracker.select([np.asarray(lm)[:, :2] for lm in lm_list])
-                if idx != -1:
-                    raw[i] = np.asarray(lm_list[idx])[:68, :2]
-                    valid[i] = True
+            # V3-style mouth track (feeds C1)
+            times, raw, valid, _ = track_chunk(
+                all_landmarks, kept_ids, fps, tracker_v3,
+                n_pts=68, dim=2, processed=processed,
+            )
             sm, carry = one_euro_scan_chunk(
                 carry, times, raw, valid,
                 min_cutoff=cfg.landmark_min_cutoff, beta=cfg.landmark_beta,
             )
             smoothed = np.asarray(sm)
+
+            # V4-style blink track (EAR via the same fused smoothing program
+            # the V4 node runs; pose inputs zeroed — pose joins in full runs)
+            _, raw4, valid4, _ = track_chunk(
+                all_landmarks, kept_ids, fps, tracker_v4,
+                n_pts=68, dim=3, processed=processed,
+            )
+            _, sm_ears, _, lm4_carry, pose_carry = v4_smooth_chunk(
+                lm4_carry, pose_carry, times, raw4, valid4,
+                np.zeros((T, 3)), np.zeros(T, bool),
+                lm_min_cutoff=cfg.landmark_min_cutoff, lm_beta=cfg.landmark_beta,
+                pose_min_cutoff=cfg.pose_min_cutoff, pose_beta=cfg.pose_beta,
+            )
+            smoothed_ears = np.asarray(sm_ears)
+
             for i, fid in enumerate(kept_ids):
                 pts: List[List[float]] = []
                 if valid[i]:
                     any_face = True
                     pts = smoothed[i][48:68].tolist()
-                    ear = 0.5 * (_eye_aspect_ratio(smoothed[i][36:42])
-                                 + _eye_aspect_ratio(smoothed[i][42:48]))
+                if valid4[i]:
                     blink_data.append(
                         {"frame_id": int(fid), "timestamp": float(times[i]),
-                         "ear": ear}
+                         "ear": float(smoothed_ears[i])}
                     )
                 mouth_landmarks.append(
                     {"frame_id": int(fid), "timestamp": float(times[i]),
                      "landmarks": pts}
                 )
+            processed += T
 
             t_end = float(times[-1]) + 1.0 / cfg.sample_fps if T else 0.0
             t_end = min(t_end, duration)
@@ -192,7 +224,7 @@ class ProgressiveAnalyzer:
         """Re-score the prefix through the real C1 + LR feature builders."""
         prefix_env = None  # absent key -> C1's no-audio path (score 0.0)
         if envelope is not None:
-            prefix_env = envelope[: int(t_end * fps)].tolist()
+            prefix_env = envelope[: int(t_end * fps)]  # ndarray; C1 accepts
         state = State(
             face_detections=(
                 [{"frame_id": 0, "faces": [{"confidence": 1.0}]}] if any_face else []

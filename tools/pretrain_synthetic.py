@@ -86,7 +86,8 @@ def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
     return mean_iou
 
 
-def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1):
+def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1,
+                    resume: bool = False, lr: float = 1e-3):
     import jax
     import jax.numpy as jnp
 
@@ -95,7 +96,10 @@ def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1)
 
     rng = np.random.RandomState(seed)
     params = landmarks_fan.init_landmark_params(jax.random.PRNGKey(seed), width=width)
-    step_fn, init_opt = landmarks_fan.make_landmark_train_step(width=width, lr=1e-3)
+    if resume and os.path.exists(out):
+        params = landmarks_fan.load_params(out, params)
+        print(f"[lmk] resumed params from {out}")
+    step_fn, init_opt = landmarks_fan.make_landmark_train_step(width=width, lr=lr)
     opt_state = init_opt(params)
 
     t0 = time.perf_counter()
@@ -123,7 +127,8 @@ def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1)
     return err
 
 
-def train_pose(steps: int, batch: int, width: int, out: str, seed: int = 2):
+def train_pose(steps: int, batch: int, width: int, out: str, seed: int = 2,
+               resume: bool = False, lr: float = 1e-3):
     import jax
     import jax.numpy as jnp
     import optax
@@ -133,7 +138,10 @@ def train_pose(steps: int, batch: int, width: int, out: str, seed: int = 2):
 
     rng = np.random.RandomState(seed)
     params = landmarks_fan.init_pose_params(jax.random.PRNGKey(seed), width=width)
-    tx = optax.adam(1e-3)
+    if resume and os.path.exists(out):
+        params = landmarks_fan.load_params(out, params)
+        print(f"[pose] resumed params from {out}")
+    tx = optax.adam(lr)
     opt_state = tx.init(params)
 
     @jax.jit
@@ -185,10 +193,12 @@ def main():
                        resume=args.resume, lr=args.lr)
     if args.only in (None, "lmk"):
         train_landmarks(args.steps, args.batch, args.lmk_width,
-                        os.path.join(args.out_dir, "landmarks.npz"))
+                        os.path.join(args.out_dir, "landmarks.npz"),
+                        resume=args.resume, lr=args.lr)
     if args.only in (None, "pose"):
         train_pose(args.steps, args.batch, 32,
-                   os.path.join(args.out_dir, "pose.npz"))
+                   os.path.join(args.out_dir, "pose.npz"),
+                   resume=args.resume, lr=args.lr)
 
 
 if __name__ == "__main__":
