@@ -44,6 +44,7 @@ class RunManager:
         self.running = False
         self.error: Optional[str] = None
         self.result: Optional[Dict[str, Any]] = None
+        self.progressive: List[Dict[str, Any]] = []
         self.input_path = ""
 
     def graph_layout(self) -> Dict[str, Any]:
@@ -98,6 +99,58 @@ class RunManager:
         self._thread.start()
         return True
 
+    def start_progressive(self, input_path: str, chunk_seconds: float = 5.0) -> bool:
+        """Streaming mode: per-chunk running probability instead of the DAG
+        (fvd_tpu.streaming; the CLI's --stream analog)."""
+        with self._lock:
+            if self.running:
+                return False
+            self.reset()
+            self.running = True
+            self.input_path = input_path
+
+        def work():
+            try:
+                from fvd_tpu.streaming import analyze_progressive
+
+                last = None
+                for u in analyze_progressive(input_path, config=self.config,
+                                             providers=self.providers,
+                                             chunk_seconds=chunk_seconds):
+                    last = u
+                    with self._lock:
+                        self.progressive.append({
+                            "t": round(u.t_end, 2),
+                            "fraction": round(u.fraction, 3),
+                            "p": u.fake_probability,
+                            "lip_sync": u.features["lip_sync"],
+                        })
+                with self._lock:
+                    if last is None:
+                        self.error = ("progressive mode needs a local video "
+                                      "and a landmark model")
+                    else:
+                        p = last.fake_probability
+                        self.result = {
+                            "fake_probability": p,
+                            "verdict": "FAKE" if p > 0.5 else "REAL",
+                            "features": last.features,
+                            "metadata": {"duration": last.t_end},
+                            "keyframes": 0, "faces": 0, "claims": [],
+                            "transcript": "", "ocr_text": [], "signals": {},
+                            "frames": [], "viz": {}, "data_dir": "",
+                        }
+            except Exception as e:  # surfaced via /status
+                with self._lock:
+                    self.error = repr(e)
+            finally:
+                with self._lock:
+                    self.running = False
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+        return True
+
     def snapshot(self) -> Dict[str, Any]:
         with self._lock:
             return {
@@ -106,6 +159,7 @@ class RunManager:
                 "statuses": self.board.statuses(),
                 "error": self.error,
                 "result": self.result,
+                "progressive": list(self.progressive),
             }
 
 
@@ -228,9 +282,11 @@ PAGE = """<!DOCTYPE html>
 <form onsubmit="start(); return false;">
   <input type="text" id="path" placeholder="video path or URL">
   <label><input type="checkbox" id="debug"> debug</label>
+  <label><input type="checkbox" id="stream"> progressive</label>
   <select id="label"><option value="">no label</option><option value="0">real (0)</option><option value="1">fake (1)</option></select>
   <button type="submit">Analyze</button>
 </form>
+<div id="progressive"></div>
 <svg id="dag" width="900" height="460">
   <defs><marker id="arr" markerWidth="8" markerHeight="8" refX="7" refY="3" orient="auto">
     <path d="M0,0 L7,3 L0,6" fill="none" stroke="#666"/></marker></defs>
@@ -268,9 +324,11 @@ async function loadGraph() {
 async function start() {
   const path = document.getElementById('path').value;
   const debug = document.getElementById('debug').checked;
+  const stream = document.getElementById('stream').checked;
   const label = document.getElementById('label').value;
   await fetch('/analyze?path=' + encodeURIComponent(path) +
-              '&debug=' + debug + (label ? '&label=' + label : ''), {method: 'POST'});
+              '&debug=' + debug + '&stream=' + stream +
+              (label ? '&label=' + label : ''), {method: 'POST'});
   poll();
 }
 async function poll() {
@@ -280,6 +338,15 @@ async function poll() {
     if (el) el.setAttribute('class', st);
   }
   document.getElementById('error').textContent = s.error || '';
+  if (s.progressive && s.progressive.length) {
+    const last = s.progressive[s.progressive.length - 1];
+    document.getElementById('progressive').innerHTML =
+      '<div class="card"><h3>Progressive analysis</h3>' +
+      sparkline('running fake_probability', s.progressive.map(u => u.p)) +
+      sparkline('running lip_sync', s.progressive.map(u => u.lip_sync)) +
+      `<div>t=${esc(last.t)}s (${(last.fraction * 100).toFixed(0)}%) · ` +
+      `p=${last.p.toFixed(4)}</div></div>`;
+  }
   if (s.result) render(s.result);
   if (s.running) setTimeout(poll, 500);
 }
@@ -423,7 +490,11 @@ def make_handler(manager: RunManager):
                 debug = q.get("debug", ["false"])[0] == "true"
                 label_raw = q.get("label", [None])[0]
                 label = int(label_raw) if label_raw in ("0", "1") else None
-                started = manager.start(path, label, debug)
+                if q.get("stream", ["false"])[0] == "true":
+                    chunk = float(q.get("chunk", ["5.0"])[0])
+                    started = manager.start_progressive(path, chunk_seconds=chunk)
+                else:
+                    started = manager.start(path, label, debug)
                 self._json({"started": started})
             else:
                 self._json({"error": "not found"}, 404)

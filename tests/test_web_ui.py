@@ -127,3 +127,33 @@ def test_artifact_endpoint_serves_and_restricts(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(base + "/artifact?path=/etc/passwd", timeout=10)
     assert exc.value.code == 403
+
+
+def test_progressive_mode_through_server(server):
+    base, video = server
+    # wait out any still-running prior test's analysis
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        _, body = _get(base + "/status")
+        if not json.loads(body)["running"]:
+            break
+        time.sleep(0.5)
+    _, resp = _post(
+        base + f"/analyze?path={urllib.request.quote(video)}&stream=true&chunk=2.0"
+    )
+    assert resp["started"]
+    deadline = time.time() + 120
+    snap = None
+    while time.time() < deadline:
+        _, body = _get(base + "/status")
+        snap = json.loads(body)
+        if not snap["running"] and (snap["result"] or snap["error"]):
+            break
+        time.sleep(0.3)
+    assert snap["error"] is None, snap["error"]
+    # 6 s video, 2 s chunks -> 3 progressive updates with rising coverage
+    assert len(snap["progressive"]) == 3
+    fractions = [u["fraction"] for u in snap["progressive"]]
+    assert fractions == sorted(fractions)
+    assert all(0.0 <= u["p"] <= 1.0 for u in snap["progressive"])
+    assert snap["result"]["verdict"] in ("FAKE", "REAL")

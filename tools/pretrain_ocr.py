@@ -17,18 +17,23 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def train_recognizer(steps: int, batch: int, width: int, out: str, seed: int = 0):
+def train_recognizer(steps: int, batch: int, width: int, out: str, seed: int = 0,
+                     resume: bool = False, lr: float = 1e-3):
     import jax
     import jax.numpy as jnp
     import optax
 
     from fvd_tpu.models import ocr
+    from fvd_tpu.models.encoders import load_params
     from fvd_tpu.models.synthetic_text import recognizer_batch
 
     rng = np.random.RandomState(seed)
     model = ocr.CTCRecognizer(width=width)
     params = ocr.init_recognizer(jax.random.PRNGKey(seed), width=width)
-    tx = optax.adam(1e-3)
+    if resume and os.path.exists(out):
+        params = load_params(out, params)
+        print(f"[rec] resumed params from {out}")
+    tx = optax.adam(lr)
     opt_state = tx.init(params)
 
     @jax.jit
@@ -66,18 +71,23 @@ def train_recognizer(steps: int, batch: int, width: int, out: str, seed: int = 0
     return exact
 
 
-def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 1):
+def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 1,
+                   resume: bool = False, lr: float = 1e-3):
     import jax
     import jax.numpy as jnp
     import optax
 
     from fvd_tpu.models import ocr
+    from fvd_tpu.models.encoders import load_params
     from fvd_tpu.models.synthetic_text import detector_batch
 
     rng = np.random.RandomState(seed)
     model = ocr.TextRegionNet(width=width)
     params = ocr.init_detector(jax.random.PRNGKey(seed), width=width)
-    tx = optax.adam(1e-3)
+    if resume and os.path.exists(out):
+        params = load_params(out, params)
+        print(f"[det] resumed params from {out}")
+    tx = optax.adam(lr)
     opt_state = tx.init(params)
 
     def loss_fn(params, imgs, masks):
@@ -124,6 +134,8 @@ def main():
     ap.add_argument("--det-width", type=int, default=16)
     ap.add_argument("--out-dir", default="checkpoints")
     ap.add_argument("--only", choices=["rec", "det"], default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--lr", type=float, default=1e-3)
     args = ap.parse_args()
 
     import jax
@@ -131,10 +143,12 @@ def main():
     print(f"backend: {jax.default_backend()}")
     if args.only in (None, "rec"):
         train_recognizer(args.steps, args.batch, args.rec_width,
-                         os.path.join(args.out_dir, "ocr_rec.npz"))
+                         os.path.join(args.out_dir, "ocr_rec.npz"),
+                         resume=args.resume, lr=args.lr)
     if args.only in (None, "det"):
         train_detector(max(200, args.steps // 3), args.batch, args.det_width,
-                       os.path.join(args.out_dir, "ocr_det.npz"))
+                       os.path.join(args.out_dir, "ocr_det.npz"),
+                       resume=args.resume, lr=args.lr)
 
 
 if __name__ == "__main__":
