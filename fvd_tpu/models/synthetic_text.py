@@ -50,14 +50,60 @@ def render_line(rng: np.random.RandomState, text: str) -> np.ndarray:
     return img.astype(np.float32)[..., None] / 255.0
 
 
+def scene_crop_line(rng: np.random.RandomState, text: str) -> np.ndarray:
+    """Render ``text`` into a detector-style scene and crop it the way
+    ``read_text_batch`` does: region box (with detector-like jitter) ->
+    grayscale -> resize to the recognizer line shape.  This is the exact
+    inference distribution — scene background, box quantization noise and
+    all — where :func:`render_line` is the clean upper bound.
+    """
+    import cv2
+
+    scale = rng.uniform(0.4, 1.4)
+    thickness = int(rng.randint(1, 4))
+    (tw, th), baseline = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX,
+                                         scale, thickness)
+    if tw >= DET_SIZE - 6:
+        scale *= (DET_SIZE - 8) / tw
+        (tw, th), baseline = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX,
+                                             scale, thickness)
+    img = (rng.rand(DET_SIZE, DET_SIZE, 3) * 90).astype(np.uint8)
+    img = cv2.blur(img, (5, 5))
+    x = rng.randint(2, max(3, DET_SIZE - tw - 2))
+    y = rng.randint(th + 2, DET_SIZE - baseline - 2)
+    color = tuple(int(c) for c in rng.randint(170, 255, 3))
+    cv2.putText(img, text, (x, y), cv2.FONT_HERSHEY_SIMPLEX, scale, color,
+                thickness)
+    # tight region box + detector-ish jitter of every edge
+    x1 = max(0, x - 2 + rng.randint(-3, 4))
+    y1 = max(0, y - th - 2 + rng.randint(-3, 4))
+    x2 = min(DET_SIZE, x + tw + 2 + rng.randint(-3, 4))
+    y2 = min(DET_SIZE, y + baseline + 2 + rng.randint(-3, 4))
+    if x2 - x1 < 4 or y2 - y1 < 4:
+        x1, y1 = max(0, x - 2), max(0, y - th - 2)
+        x2, y2 = min(DET_SIZE, x + tw + 2), min(DET_SIZE, y + baseline + 2)
+    gray = cv2.cvtColor(img[y1:y2, x1:x2], cv2.COLOR_RGB2GRAY)
+    line = cv2.resize(gray, (LINE_W, LINE_H))
+    return line.astype(np.float32)[..., None] / 255.0
+
+
 def recognizer_batch(rng: np.random.RandomState, batch: int):
-    """(lines float [B, 32, 256, 1], labels [B, 32] int32, texts)."""
+    """(lines float [B, 32, 256, 1], labels [B, 32] int32, texts).
+
+    Half the batch is clean :func:`render_line` strips, half is
+    :func:`scene_crop_line` — crops produced exactly like the inference
+    path, including long chyron-length strings.
+    """
     lines = np.zeros((batch, LINE_H, LINE_W, 1), np.float32)
     labels = np.zeros((batch, 32), np.int32)
     texts: List[str] = []
     for i in range(batch):
-        text = random_text(rng)
-        lines[i] = render_line(rng, text)
+        if i % 2 == 0:
+            text = random_text(rng)
+            lines[i] = render_line(rng, text)
+        else:
+            text = random_text(rng, 4, 18)
+            lines[i] = scene_crop_line(rng, text)
         labels[i] = encode_ctc_labels(text)
         texts.append(text)
     return lines, labels, texts
