@@ -122,8 +122,8 @@ def main() -> None:
             f"-> {elapsed / n_videos:.2f}s/video")
         prev_best = best
         best = elapsed if best is None else min(best, elapsed)
-        if attempt >= 2 and prev_best is not None and elapsed > 0.9 * prev_best:
-            break  # no longer improving materially
+        if attempt >= 2 and prev_best is not None and elapsed >= prev_best:
+            break  # stopped improving (a recovering tunnel keeps improving)
     per_video = best / n_videos
     videos_per_min = 60.0 / per_video
 
