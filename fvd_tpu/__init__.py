@@ -45,11 +45,25 @@ def _enable_persistent_compile_cache() -> None:
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         return
     try:
+        import hashlib
+        import platform
+
         import jax
 
+        # Scope the cache by host CPU fingerprint: XLA:CPU AOT entries embed
+        # the compile machine's feature set, and a cache dir reused across
+        # hosts (shared $HOME images) serves mismatched entries that can
+        # SIGILL.  TPU entries just go cold once per new host.
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next((l for l in f if l.startswith("flags")), "")
+        except OSError:
+            flags = platform.machine()
+        host_id = hashlib.sha1(flags.encode()).hexdigest()[:10]
         cache_dir = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache", "fvd_tpu", "xla"),
+            os.path.join(os.path.expanduser("~"), ".cache", "fvd_tpu",
+                         f"xla-{host_id}"),
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
