@@ -67,10 +67,24 @@ def main() -> None:
         from fvd_tpu.providers.factory import production_providers
         from fvd_tpu.synthetic import make_face_video
 
+        # distinct spoken sentences (tone-coded, the trained ASR's domain):
+        # A2 transcribes them, C3 extracts claims, E1-E3 retrieve and score
+        # evidence — the full 16-node DAG does real work per video
+        sentences = [
+            "the mayor said the city will cut taxes next year",
+            "the river level rose two feet after the storm",
+            "the new bridge opened to traffic last month",
+            "the school board voted to extend the year",
+            "the state added nine thousand jobs in july",
+            "the court ruled the ban can not take effect",
+            "the team won the final game by six points",
+            "the museum opened a wing for modern art",
+        ]
         log(f"generating {n_videos} face videos ({duration}s @ {fps}fps, 320x240)...")
         videos = [
             make_face_video("media", name=f"clip{i}", duration=duration, fps=fps,
-                            width=320, height=240, seed=i)
+                            width=320, height=240, seed=i,
+                            speech_text=sentences[i % len(sentences)])
             for i in range(n_videos)
         ]
         ckpt_dir = os.path.join(repo_root, "checkpoints")
@@ -80,8 +94,11 @@ def main() -> None:
             log(f"FATAL: trained checkpoints missing from {ckpt_dir}: {missing}; "
                 "train with tools/pretrain_*.py or run with --fixtures")
             sys.exit(1)
+        # recorded LLM/search fixtures (providers/recorded.py): the claim /
+        # evidence / forensics half of the DAG runs its real logic
+        # deterministically instead of sitting dead behind missing API keys
         providers = production_providers(
-            checkpoint_dir=ckpt_dir, use_llm=False, use_search=False,
+            checkpoint_dir=ckpt_dir, recorded_services=True,
         )
         # the metric name promises real trained forwards — refuse to publish
         # a random-init number under it
@@ -110,8 +127,8 @@ def main() -> None:
     # Measured passes, best wins: the chip sits behind a tunnel whose
     # dispatch latency swings 3x+ between runs; best-of-N isolates
     # framework throughput from transient transport degradation.  At least
-    # 3 passes, up to 6: keep going while passes are still improving by
-    # >10% (a degraded window recovering mid-bench), stop once converged.
+    # 3 passes, up to 6: keep going while passes still improve on the best
+    # (a degraded window recovering mid-bench), stop once converged.
     best = None
     for attempt in range(6):
         log(f"measuring pass {attempt + 1} (8-way cross-video overlap)...")
@@ -124,6 +141,8 @@ def main() -> None:
         best = elapsed if best is None else min(best, elapsed)
         if attempt >= 2 and prev_best is not None and elapsed >= prev_best:
             break  # stopped improving (a recovering tunnel keeps improving)
+    if not fixtures:
+        _close_coalesce()  # join the coalescer threads before reporting
     per_video = best / n_videos
     videos_per_min = 60.0 / per_video
 

@@ -83,18 +83,6 @@ class AsrModel(nn.Module):
         return self.decoder(tokens, memory)
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def mel_chunks(audio: jax.Array, chunk: int) -> jax.Array:
-    """audio [n] -> mel chunks [ceil(frames/chunk), chunk, N_MELS], one
-    device program (frontend + pad + reshape; all shapes static per length).
-    """
-    mel = log_mel(audio)
-    t = mel.shape[0]
-    n_chunks = max(1, -(-t // chunk))
-    mel = jnp.pad(mel, ((0, n_chunks * chunk - t), (0, 0)))
-    return mel.reshape(n_chunks, chunk, N_MELS)
-
-
 def log_mel(audio: jax.Array, sr: int = 16000) -> jax.Array:
     """Whisper-style log-mel frontend on the device spectral kernels."""
     from fvd_tpu.ops.spectral import mel_filterbank, stft_power
@@ -153,6 +141,63 @@ def init_params(rng, dim: int = 192, depth: int = 4):
     )
 
 
+def active_spans(
+    y: np.ndarray,
+    sr: int = 16000,
+    rel_thresh: float = 0.05,
+    abs_floor: float = 1e-4,
+    merge_gap_s: float = 0.2,
+    min_span_s: float = 0.05,
+    pad_s: float = 0.02,
+) -> list:
+    """Host-side energy VAD: contiguous speech spans as sample ranges.
+
+    The reference's Whisper handles long-form audio by internally windowing
+    around detected speech (a2_vad_asr.py:27-30 relies on that); the
+    equivalent here keeps each decoded window inside the trained
+    distribution — speech followed by silence (tools/pretrain_asr.py pads
+    utterances with zeros) — instead of slicing fixed windows that cut
+    through speech/pause boundaries.  Pure numpy: per CLAUDE.md the
+    single-core host must not issue tiny device dispatches per clip.
+    """
+    hop = HOP
+    n = len(y) // hop
+    if n == 0:
+        return [(0, len(y))] if len(y) else []
+    frames = y[: n * hop].reshape(n, hop).astype(np.float64)
+    rms = np.sqrt(np.mean(frames * frames, axis=1))
+    thr = max(abs_floor, rel_thresh * float(rms.max()))
+    active = rms > thr
+    if not active.any():
+        return []
+    edges = np.flatnonzero(np.diff(np.concatenate([[0], active.view(np.int8), [0]])))
+    spans = list(zip(edges[0::2], edges[1::2]))  # frame-index [start, end)
+    gap = max(1, int(merge_gap_s * sr / hop))
+    merged = [spans[0]]
+    for s, e in spans[1:]:
+        if s - merged[-1][1] <= gap:
+            merged[-1] = (merged[-1][0], e)
+        else:
+            merged.append((s, e))
+    min_fr = max(1, int(min_span_s * sr / hop))
+    pad = int(pad_s * sr / hop)
+    return [
+        (max(0, s - pad) * hop, min(len(y), (e + pad) * hop))
+        for s, e in merged
+        if e - s >= min_fr
+    ]
+
+
+@jax.jit
+def _mel_masked(audio_b: jax.Array, n_frames: jax.Array) -> jax.Array:
+    """Batched log-mel with rows past each item's content zeroed — the
+    training-time silence representation (pretrain_asr.py zeroes mel rows
+    beyond the utterance), computed in ONE device program."""
+    mel = jax.vmap(log_mel)(audio_b)  # [B, F, 80]
+    idx = jnp.arange(mel.shape[1])[None, :, None]
+    return jnp.where(idx < n_frames[:, None, None], mel, 0.0)
+
+
 class JaxASR:
     """ASRProvider over the encoder-decoder (Whisper role).
 
@@ -163,10 +208,12 @@ class JaxASR:
     model_name = "fvd_tpu_asr"
 
     def __init__(self, params=None, dim: int = 192, depth: int = 4,
-                 chunk_frames: int = MAX_AUDIO_FRAMES, max_tokens: int = MAX_TOKENS):
+                 chunk_frames: int = MAX_AUDIO_FRAMES, max_tokens: int = MAX_TOKENS,
+                 dither: float = 0.01):
         self.dim, self.depth = dim, depth
         self.chunk_frames = chunk_frames
         self.max_tokens = max_tokens
+        self.dither = dither
         self.params = params if params is not None else init_params(
             jax.random.PRNGKey(0), dim, depth)
         self.tok = ByteTokenizer()
@@ -196,7 +243,15 @@ class JaxASR:
 
     def transcribe(self, audio_path: str, audio=None) -> Optional[Dict[str, Any]]:
         """``audio`` (host or device-resident array at 16 kHz) skips the file
-        read AND the host->HBM upload when A1 left its output on device."""
+        read AND the host->HBM upload when A1 left its output on device.
+
+        Long-form strategy: energy-VAD spans -> each span windowed to the
+        model's chunk length -> ONE batched mel + ONE batched greedy decode
+        over all windows (shape-bucketed so repeated clips reuse the
+        compiled program).  Mirrors Whisper's windowed long-form decode
+        (reference a2_vad_asr.py:27-30) while keeping every window inside
+        the trained speech-then-silence distribution.
+        """
         sr = 16000
         if audio is None:
             from fvd_tpu.utils.wav import read_wav, to_mono
@@ -206,20 +261,41 @@ class JaxASR:
             except Exception:
                 return None
             audio = to_mono(samples)
-        y = jnp.asarray(audio, jnp.float32)
-        chunk = self.chunk_frames
-        t = 1 + y.shape[0] // HOP  # frame_signal center-mode frame count
-        chunks = mel_chunks(y, chunk)
-        tokens = greedy_decode(self.params, chunks, dim=self.dim,
+        y = np.asarray(audio, np.float32)
+        spans = active_spans(y, sr)
+        if not spans:
+            return {"text": "", "segments": []}
+
+        chunk_samples = (self.chunk_frames - 1) * HOP
+        pieces: list = []  # (start_sample, samples)
+        for s0, s1 in spans:
+            for off in range(s0, s1, chunk_samples):
+                pieces.append((off, y[off: min(off + chunk_samples, s1)]))
+
+        # shape bucket: pad the window count to the next power of two so a
+        # video corpus with varying pause structure compiles each program once
+        p = len(pieces)
+        bucket = 1 << max(2, (p - 1).bit_length())
+        batch = np.zeros((bucket, chunk_samples), np.float32)
+        n_frames = np.zeros(bucket, np.int32)
+        # deterministic dither matching the training noise floor
+        # (tools/pretrain_asr.py trains on tone_speech(text, rng) = +0.01
+        # randn; a clean studio-silent signal is out-of-distribution and
+        # decodes empty — the same reason production ASR front-ends dither)
+        dither = np.random.RandomState(0)
+        for i, (_, seg) in enumerate(pieces):
+            n = len(seg)
+            batch[i, :n] = seg + self.dither * dither.randn(n).astype(np.float32)
+            n_frames[i] = min(1 + n // HOP, self.chunk_frames)
+        mels = _mel_masked(jnp.asarray(batch), jnp.asarray(n_frames))
+        tokens = greedy_decode(self.params, mels, dim=self.dim,
                                depth=self.depth, max_tokens=self.max_tokens)
         segments = []
         texts = []
-        sec_per_frame = HOP / sr
-        for i, row in enumerate(np.asarray(tokens)):
+        for (off, seg), row in zip(pieces, np.asarray(tokens)):
             text = self.tok.decode(row).strip()
-            start = i * chunk * sec_per_frame
-            end = min((i + 1) * chunk, t) * sec_per_frame
             if text:
-                segments.append({"start": start, "end": end, "text": text})
+                segments.append({"start": off / sr,
+                                 "end": (off + len(seg)) / sr, "text": text})
                 texts.append(text)
         return {"text": " ".join(texts), "segments": segments}

@@ -82,7 +82,12 @@ def production_providers(
     checkpoint_dir: str = "checkpoints",
     use_llm: bool = True,
     use_search: bool = True,
+    recorded_services: bool = False,
 ) -> Providers:
+    """``recorded_services``: replace the network LLM/search seams with the
+    deterministic recorded fixtures (providers/recorded.py) so the full
+    C3->E1->E2->E3 + V5 half of the DAG runs hermetically — the same seams
+    the reference's tests mock (test_c3_openai_primary.py:13-37)."""
     import jax
 
     from fvd_tpu.models import encoders, face_ssd, landmarks_fan, ocr
@@ -114,9 +119,14 @@ def production_providers(
         width=lmk_width,
     )
 
-    llm = OpenAILLM() if use_llm else NullLLM()
-    if not getattr(llm, "available", False):
-        llm = NullLLM()
+    if recorded_services:
+        from fvd_tpu.providers.recorded import RecordedLLM
+
+        llm = RecordedLLM()
+    else:
+        llm = OpenAILLM() if use_llm else NullLLM()
+        if not getattr(llm, "available", False):
+            llm = NullLLM()
 
     # Weight-compatible HF Flax providers take precedence when the exact
     # reference checkpoints were imported (tools/import_hf_weights.py).
@@ -173,9 +183,16 @@ def production_providers(
 
         asr = JaxASR.from_checkpoint(asr_ckpt)
 
+    if recorded_services:
+        from fvd_tpu.providers.recorded import RecordedSearch
+
+        search = RecordedSearch()
+    else:
+        search = default_chain() if use_search else Providers().search
+
     return Providers(
         llm=llm,
-        search=default_chain() if use_search else Providers().search,
+        search=search,
         text_encoder=text_encoder,
         clip=clip,
         asr=asr or EnergyVAD(),

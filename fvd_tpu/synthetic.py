@@ -62,6 +62,7 @@ def make_face_video(
     gate_hz: float = 1.0,
     sr: int = 16000,
     seed: int = 0,
+    speech_text: str | None = None,
 ) -> str:
     """Procedural-face video for the real-model path: an elliptical face
     (the trained detector/landmark nets' domain, models/synthetic_faces.py)
@@ -69,6 +70,10 @@ def make_face_video(
     slow center drift that exercises IoU tracking. Unlike
     ``make_synthetic_video`` (fixture-provider blob), this one is meant to
     be analyzed by the actual device models.
+
+    ``speech_text``: render the audio as gate-phased tone-coded speech (the
+    trained ASR's domain) instead of a gated tone, so A2 produces a real
+    transcript and the C3->E1->E2->E3 claim chain runs end-to-end.
     """
     import cv2
 
@@ -95,9 +100,12 @@ def make_face_video(
     video_path = os.path.join(dirpath, f"{name}.mp4")
     write_video(video_path, frames, fps)
 
-    t = np.arange(int(sr * duration)) / sr
-    gate = (np.sin(2 * np.pi * gate_hz * t) > 0).astype(np.float32)
-    sig = 0.5 * np.sin(2 * np.pi * 330 * t).astype(np.float32) * gate
+    if speech_text is not None:
+        sig = gated_speech(speech_text, duration, gate_hz=gate_hz, sr=sr)
+    else:
+        t = np.arange(int(sr * duration)) / sr
+        gate = (np.sin(2 * np.pi * gate_hz * t) > 0).astype(np.float32)
+        sig = 0.5 * np.sin(2 * np.pi * 330 * t).astype(np.float32) * gate
     write_wav(os.path.join(dirpath, f"{name}.wav"), sig, sr)
     return video_path
 
@@ -126,6 +134,50 @@ def tone_speech(text: str, rng: np.random.RandomState | None = None) -> np.ndarr
     if rng is not None:
         audio = audio + 0.01 * rng.randn(len(audio))
     return audio.astype(np.float32)
+
+
+def gated_speech(
+    text: str,
+    duration: float,
+    gate_hz: float = 1.0,
+    sr: int = TONE_SR,
+    rng: np.random.RandomState | None = None,
+) -> np.ndarray:
+    """Tone-coded speech phrased into the gate's on-windows.
+
+    Words are packed greedily into successive gate-on half-periods (the
+    mouth-open phases of make_face_video's face), with silence between —
+    the shape of real narrated video: speech bursts aligned with mouth
+    motion, real pauses for VAD/pause_ratio, and every burst short enough
+    to decode inside one trained ASR window.  Words that don't fit the
+    remaining window wait for the next one; text beyond the clip is
+    dropped.
+    """
+    n_total = int(sr * duration)
+    audio = np.zeros(n_total, np.float32)
+    on_s = 0.5 / gate_hz  # gate = sin(2*pi*gate_hz*t) > 0: first half-period
+    period = 1.0 / gate_hz
+    max_chars = min(int(on_s / TONE_CHAR_S), 10)  # trained utterance length
+    words = [w for w in text.split() if w]
+    wi = 0
+    k = 0
+    while wi < len(words) and k * period < duration:
+        phrase = ""
+        while wi < len(words):
+            cand = words[wi] if not phrase else f"{phrase} {words[wi]}"
+            if len(cand) > max_chars:
+                break
+            phrase = cand
+            wi += 1
+        if phrase:  # a word longer than any window would loop forever: skip
+            a = tone_speech(phrase, rng)
+            i0 = int(k * period * sr)
+            i1 = min(i0 + len(a), n_total)
+            audio[i0:i1] = a[: i1 - i0]
+        else:
+            wi += 1
+        k += 1
+    return audio
 
 
 def _bright_boxes(frames: np.ndarray):

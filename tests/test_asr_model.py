@@ -39,6 +39,41 @@ def test_jax_asr_contract(tmp_path):
         assert seg["end"] > seg["start"]
 
 
+def test_active_spans_vad():
+    from fvd_tpu.models.asr import active_spans
+
+    sr = 16000
+    y = np.zeros(sr * 2, np.float32)
+    y[4000:8000] = 0.3 * np.sin(np.arange(4000) * 0.3)
+    y[20000:24000] = 0.3 * np.sin(np.arange(4000) * 0.3)
+    spans = active_spans(y, sr)
+    assert len(spans) == 2
+    for (s0, s1), (lo, hi) in zip(spans, [(4000, 8000), (20000, 24000)]):
+        assert s0 <= lo and s1 >= hi and s0 > lo - 1000 and s1 < hi + 1000
+    assert active_spans(np.zeros(sr, np.float32), sr) == []
+
+
+@pytest.mark.skipif(not os.path.exists(CKPT), reason="no trained ASR checkpoint")
+def test_trained_asr_reads_long_form_gated_speech(tmp_path):
+    """Long-form speech with real pauses (the shape of narrated video):
+    VAD-windowed decode recovers the words across silence gaps — the
+    capability the reference gets from Whisper's internal windowing
+    (a2_vad_asr.py:27-30)."""
+    from fvd_tpu.models.asr import JaxASR
+    from fvd_tpu.synthetic import TONE_SR, gated_speech
+
+    text = "the mayor said the city will cut taxes next year"
+    audio = gated_speech(text, duration=15.0, gate_hz=1.0)
+    asr = JaxASR.from_checkpoint(CKPT)
+    got = asr.transcribe("", audio=audio)
+    assert got is not None and got["segments"]
+    ok = sum(a == b for a, b in zip(got["text"], text))
+    assert ok / len(text) >= 0.8, f"char accuracy {ok}/{len(text)}: {got['text']!r}"
+    # pauses are real: segments must not cover the whole clip
+    covered = sum(s["end"] - s["start"] for s in got["segments"])
+    assert covered < 10.0
+
+
 @pytest.mark.skipif(not os.path.exists(CKPT), reason="no trained ASR checkpoint")
 def test_trained_asr_reads_tone_speech(tmp_path):
     """The trained checkpoint transcribes in-domain utterances."""
