@@ -41,7 +41,12 @@ def _enable_persistent_compile_cache() -> None:
     # CPU-only processes (tests, local drives) skip the cache: XLA:CPU AOT
     # cache entries warn about machine-feature mismatches on reload and the
     # compiles they'd save are cheap anyway.  TPU programs — the tens-of-
-    # seconds compiles behind the axon tunnel — are the payoff.
+    # seconds compiles behind the axon tunnel — are the payoff.  The env
+    # check only catches processes that set JAX_PLATFORMS before import
+    # (tests/conftest.py); callers that force CPU later via
+    # jax.config.update (tools --cpu) still enable the cache — accepted:
+    # the host-fingerprint dir scoping plus the 0.5 s min-compile threshold
+    # make stray CPU entries harmless.
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         return
     try:

@@ -166,18 +166,28 @@ def run(
     from fvd_tpu.runtime.io_pool import ArtifactWriter
 
     writer = ArtifactWriter()
-    for frames, kept_ids in StreamingSampler(video_path, frame_ids,
-                                             chunk_size=chunk_size):
-        if detector is not None:
-            dev = device_frames_for(video_path, kept_ids) if use_device else None
-            detections_per_frame = detector.detect_batch(
-                dev if dev is not None else frames)
-        else:
-            detections_per_frame = [[] for _ in kept_ids]
-        _process_chunk(frames, kept_ids, detections_per_frame, meta, cfg,
-                       frame_area, keyframes_dir, faces_dir,
-                       keyframes_paths, face_detections, writer)
-    writer.drain()  # artifact contract: files exist before the delta merges
+    try:
+        for frames, kept_ids in StreamingSampler(video_path, frame_ids,
+                                                 chunk_size=chunk_size):
+            if detector is not None:
+                dev = device_frames_for(video_path, kept_ids) if use_device else None
+                detections_per_frame = detector.detect_batch(
+                    dev if dev is not None else frames)
+            else:
+                detections_per_frame = [[] for _ in kept_ids]
+            _process_chunk(frames, kept_ids, detections_per_frame, meta, cfg,
+                           frame_area, keyframes_dir, faces_dir,
+                           keyframes_paths, face_detections, writer)
+    except BaseException:
+        # join queued encodes so they can't fail silently in the shared
+        # pool after the node unwinds; the original error stays primary
+        try:
+            writer.drain()
+        except Exception as e:
+            print(f"V1: artifact drain after failure: {e}")
+        raise
+    else:
+        writer.drain()  # artifact contract: files exist before the delta merges
 
     if not keyframes_paths:
         print("V1: no frames decoded.")

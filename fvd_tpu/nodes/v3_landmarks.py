@@ -174,6 +174,10 @@ def run(
         raise
     if not viz.appended:
         viz_path = None
+    # viz_path is advertised before the deferred encode lands; if that
+    # encode fails, the scheduler's flush warns and the path may not
+    # materialize — consumers must tolerate a missing viz file (the
+    # reference has the same race with its cv2.VideoWriter finalization)
 
     metadata = dict(state.get("metadata", {}) or {})
     metadata["landmark_model"] = f"{providers.landmarks.model_name}_smoothed"

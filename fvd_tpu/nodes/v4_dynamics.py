@@ -218,6 +218,8 @@ def run(
         raise
     if not viz.appended:
         viz_path = None
+    # deferred-encode race: see the matching note in v3_landmarks.py —
+    # consumers must tolerate a missing viz file if the flush fails
 
     metadata = dict(state.get("metadata", {}) or {})
     metadata["blink_model"] = "EAR_smoothed"

@@ -150,6 +150,12 @@ class _Coalescer:
     def _run_chunk(self, key: tuple, chunk: List[_Req]) -> None:
         try:
             results = self.run_group(key, [r.payload for r in chunk])
+            if len(results) != len(chunk):  # a silent mismatch would leave
+                # the unmatched futures blocking their caller threads forever
+                raise RuntimeError(
+                    f"coalesced group returned {len(results)} results for "
+                    f"{len(chunk)} requests (key={key})"
+                )
             with self._stats_lock:
                 self.groups_run += 1
                 self.items_served += len(chunk)

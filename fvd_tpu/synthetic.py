@@ -63,6 +63,9 @@ def make_face_video(
     sr: int = 16000,
     seed: int = 0,
     speech_text: str | None = None,
+    audio_offset_s: float = 0.0,
+    texture_noise: float = 0.0,
+    pose_jitter: float = 0.0,
 ) -> str:
     """Procedural-face video for the real-model path: an elliptical face
     (the trained detector/landmark nets' domain, models/synthetic_faces.py)
@@ -74,6 +77,19 @@ def make_face_video(
     ``speech_text``: render the audio as gate-phased tone-coded speech (the
     trained ASR's domain) instead of a gated tone, so A2 produces a real
     transcript and the C3->E1->E2->E3 claim chain runs end-to-end.
+
+    Deepfake-style manipulation knobs (the labeled-corpus generator's
+    levers, mirroring the signals the reference's LR weights act on —
+    lr_weights.json: texture +0.82, lip_sync -0.46, headpose_jerk +0.08):
+
+    * ``audio_offset_s`` — delay the audio track relative to the mouth
+      gate (circular shift): breaks A/V sync, driving C1's lip-sync score
+      down.
+    * ``texture_noise`` — additive Gaussian noise (that sigma) inside the
+      face region only: the blend-seam/GAN-artifact analog V5's forensic
+      analysis reacts to.
+    * ``pose_jitter`` — per-frame random head-center displacement (pixels):
+      raises V4's headpose_jerk / destabilizes landmark tracks.
     """
     import cv2
 
@@ -94,8 +110,18 @@ def make_face_video(
         gate = 0.5 * (1 + np.sin(2 * np.pi * gate_hz * t))
         cx = width / 2 + 0.06 * width * np.sin(2 * np.pi * 0.05 * t)
         cy = height / 2 + 0.04 * height * np.cos(2 * np.pi * 0.07 * t)
+        if pose_jitter > 0:
+            cx += pose_jitter * rng.randn()
+            cy += pose_jitter * rng.randn()
         frame = background.copy()
         draw_face(frame, cx, cy, fw, fh, skin, aperture=gate)
+        if texture_noise > 0:
+            y0, y1 = int(cy - fh / 2), int(cy + fh / 2)
+            x0, x1 = int(cx - fw / 2), int(cx + fw / 2)
+            y0, x0 = max(y0, 0), max(x0, 0)
+            region = frame[y0:y1, x0:x1].astype(np.float32)
+            region += texture_noise * rng.randn(*region.shape)
+            frame[y0:y1, x0:x1] = np.clip(region, 0, 255).astype(np.uint8)
         frames[i] = frame
     video_path = os.path.join(dirpath, f"{name}.mp4")
     write_video(video_path, frames, fps)
@@ -106,6 +132,8 @@ def make_face_video(
         t = np.arange(int(sr * duration)) / sr
         gate = (np.sin(2 * np.pi * gate_hz * t) > 0).astype(np.float32)
         sig = 0.5 * np.sin(2 * np.pi * 330 * t).astype(np.float32) * gate
+    if audio_offset_s:
+        sig = np.roll(sig, int(audio_offset_s * sr))
     write_wav(os.path.join(dirpath, f"{name}.wav"), sig, sr)
     return video_path
 

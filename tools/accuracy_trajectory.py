@@ -1,0 +1,79 @@
+"""Record the end-to-end accuracy trajectory under online LR training.
+
+Mirrors the reference's defining experiment: repeated labeled batch runs
+with `--train` online SGD, accuracy climbing run over run
+(`/root/reference/results/batch_results1.txt` ... `batch_results10.txt`,
+`batch_test.py:158-189`).  Everything runs hermetically: procedural-face
+corpus (tools/make_labeled_corpus.py), trained device models, recorded
+LLM/search fixtures.
+
+    python tools/accuracy_trajectory.py --workdir /tmp/traj --runs 10
+    python tools/accuracy_trajectory.py --cpu ...   # force the CPU backend
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="traj_run")
+    ap.add_argument("--runs", type=int, default=10)
+    ap.add_argument("--n-real", type=int, default=6)
+    ap.add_argument("--n-fake", type=int, default=6)
+    ap.add_argument("--duration", type=float, default=10.0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the harness pins "
+                         "jax_platforms at import; see CLAUDE.md)")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        os.environ.setdefault(
+            "XLA_FLAGS",
+            (os.environ.get("XLA_FLAGS", "") +
+             " --xla_force_host_platform_device_count=1").strip())
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    os.makedirs(args.workdir, exist_ok=True)
+    os.chdir(args.workdir)
+
+    from tools.make_labeled_corpus import build_corpus
+
+    if not os.path.isdir("videos") or not os.listdir("videos"):
+        print("generating labeled corpus...")
+        build_corpus("videos", args.n_real, args.n_fake, args.duration)
+
+    from fvd_tpu import batch
+    from fvd_tpu.providers import set_providers
+    from fvd_tpu.providers.factory import production_providers
+
+    set_providers(production_providers(
+        checkpoint_dir=os.path.join(REPO, "checkpoints"), recorded_services=True))
+
+    accs = []
+    for run in range(1, args.runs + 1):
+        results = f"results/batch_results{run}.txt"
+        print(f"=== run {run}/{args.runs} (--train) ===", flush=True)
+        batch.main(["--train", "--results", results])
+        with open(results) as f:
+            table = f.read()
+        m = re.search(r"Total Accuracy: ([0-9.]+)%", table)
+        accs.append(float(m.group(1)) if m else float("nan"))
+        print(f"run {run}: accuracy {accs[-1]}%", flush=True)
+
+    print("trajectory:", " -> ".join(f"{a:.2f}%" for a in accs))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
