@@ -23,16 +23,26 @@ from fvd_tpu.runtime.debug import dump_node_debug
 from fvd_tpu.state import State, StateDelta
 
 
-def _ensure_decodable(video_path: str, debug: bool = False) -> str:
-    """cv2 probe; if unreadable and ffmpeg exists, transcode to H.264
-    (reference main.py:66-170 minus the NVENC leg)."""
-    reader = VideoReader()
-    if reader.probe(video_path) is not None:
-        return video_path
+def probe_codec_rotation(video_path: str) -> tuple:
+    """(codec_name, rotation_degrees) via the native libav shim — the role
+    ffprobe plays in the reference's ingest (main.py:77-170).  ("", 0) when
+    the shim or the streams are unavailable."""
+    try:
+        from fvd_tpu.providers.native_decode import NativeVideo, available
+
+        if not available():
+            return "", 0
+        with NativeVideo(video_path) as nv:
+            rotation, codec = nv.probe_extra()
+        return codec, rotation
+    except Exception:
+        return "", 0
+
+
+def _transcode_h264(video_path: str) -> bool:
     ff = ffmpeg_bin()
     if not ff:
-        print("IN: video not readable and no ffmpeg available to transcode.")
-        return video_path
+        return False
     import subprocess
 
     tmp = video_path + ".h264.mp4"
@@ -44,9 +54,31 @@ def _ensure_decodable(video_path: str, debug: bool = False) -> str:
     )
     if proc.returncode == 0:
         shutil.move(tmp, video_path)
-        print("IN: re-encoded video to H.264 for decodability.")
-    elif os.path.exists(tmp):
+        return True
+    if os.path.exists(tmp):
         os.remove(tmp)
+    return False
+
+
+def _ensure_decodable(video_path: str, debug: bool = False) -> str:
+    """Codec probe + AV1->H.264 transcode leg + cv2 readability fallback
+    (reference main.py:66-170 minus the NVENC leg — no GPU encode concept
+    on TPU hosts)."""
+    codec, _ = probe_codec_rotation(video_path)
+    if codec in ("av1", "libaom-av1"):
+        # the reference transcodes AV1 for its cv2/dlib consumers
+        # (main.py:117-170); same leg here, gated on an ffmpeg binary
+        if _transcode_h264(video_path):
+            print("IN: transcoded AV1 -> H.264 (reference parity leg).")
+            return video_path
+        print("IN: AV1 stream and no ffmpeg to transcode; relying on libav decode.")
+    reader = VideoReader()
+    if reader.probe(video_path) is not None:
+        return video_path
+    if _transcode_h264(video_path):
+        print("IN: re-encoded video to H.264 for decodability.")
+    else:
+        print("IN: video not readable and no ffmpeg available to transcode.")
     return video_path
 
 
@@ -89,17 +121,22 @@ def run(state: State, config: Config = default_config()) -> StateDelta:
     if extracted is None:
         print("IN: warning - no audio track available for this video.")
 
-    # Metadata probe.
+    # Metadata probe (rotation/codec via the native shim: the reference
+    # records ffprobe's display rotation so V-nodes can upright frames,
+    # main.py:77-116).
     meta = VideoReader().probe(video_path)
+    codec, rotation = probe_codec_rotation(video_path)
     if meta is not None:
         metadata.update(
             {
                 "duration": meta.duration,
                 "fps": meta.fps,
                 "size": [meta.width, meta.height],
-                "rotation": 0,
+                "rotation": rotation,
             }
         )
+        if codec:
+            metadata["codec"] = codec
 
     dump_node_debug(output_dir, "IN", {"video": video_path, "audio": extracted or "none"})
     return {"data_dir": output_dir, "metadata": metadata, "debug": debug}

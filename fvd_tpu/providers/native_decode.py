@@ -63,6 +63,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64,
         ]
+        # fvd_probe_extra landed after the first shim build; absent on a
+        # stale .so (callers treat it as "no extra metadata")
+        if hasattr(lib, "fvd_probe_extra"):
+            lib.fvd_probe_extra.restype = ctypes.c_int
+            lib.fvd_probe_extra.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+                ctypes.c_char_p, ctypes.c_int,
+            ]
         _lib = lib
         return _lib
 
@@ -108,6 +116,18 @@ class NativeVideo:
         if rc != 0:
             raise IOError("probe failed")
         return fps.value, frames.value, w.value, h.value, dur.value, bool(has_audio.value)
+
+    def probe_extra(self) -> Tuple[int, str]:
+        """(rotation degrees [0, 360), codec name) — the ffprobe metadata
+        the reference's ingest reads (main.py:77-170)."""
+        if not hasattr(self._lib, "fvd_probe_extra"):
+            return 0, ""
+        rot = ctypes.c_int()
+        buf = ctypes.create_string_buffer(64)
+        rc = self._lib.fvd_probe_extra(self._h, ctypes.byref(rot), buf, len(buf))
+        if rc != 0:
+            return 0, ""
+        return rot.value, buf.value.decode(errors="replace")
 
     def read_frames(self, frame_ids) -> Tuple[np.ndarray, List[int]]:
         fps, n_frames, w, h, _, _ = self.probe()

@@ -15,11 +15,14 @@
 extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
+#include <libavutil/display.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
 #include <libswresample/swresample.h>
 #include <libswscale/swscale.h>
 }
+
+#include <cmath>
 
 #include <algorithm>
 #include <cstdint>
@@ -108,6 +111,32 @@ int fvd_probe(void* handle, double* fps, int64_t* frame_count, int* width,
     nb = static_cast<int64_t>(*duration * *fps + 0.5);
   *frame_count = nb;
   *has_audio = (h->audio_stream >= 0 && h->actx) ? 1 : 0;
+  return 0;
+}
+
+// Container-level metadata the ingest node needs for reference parity
+// (main.py:77-170 probes codec + rotation via ffprobe): display-matrix
+// rotation in degrees [0, 360) and the decoder name ("h264", "av1", ...).
+// Returns 0 on success.
+int fvd_probe_extra(void* handle, int* rotation, char* codec_name,
+                    int codec_name_len) {
+  auto* h = static_cast<Handle*>(handle);
+  if (!h || h->video_stream < 0) return -1;
+  AVStream* st = h->fmt->streams[h->video_stream];
+
+  double theta = 0.0;
+  const uint8_t* dm =
+      av_stream_get_side_data(st, AV_PKT_DATA_DISPLAYMATRIX, nullptr);
+  if (dm)
+    theta = -av_display_rotation_get(reinterpret_cast<const int32_t*>(dm));
+  long r = std::lround(theta);
+  *rotation = static_cast<int>(((r % 360) + 360) % 360);
+
+  const char* name = avcodec_get_name(st->codecpar->codec_id);
+  if (codec_name && codec_name_len > 0) {
+    std::strncpy(codec_name, name ? name : "", codec_name_len - 1);
+    codec_name[codec_name_len - 1] = '\0';
+  }
   return 0;
 }
 

@@ -33,6 +33,59 @@ def test_missing_input_raises(tmp_cwd):
         ingest.run(State(input_path="nope.mp4"))
 
 
+def test_codec_rotation_metadata(tmp_cwd):
+    """Reference parity: ingest records ffprobe-style codec + rotation
+    metadata (main.py:77-116) — via the native shim here."""
+    from fvd_tpu.providers.native_decode import available
+
+    video = make_synthetic_video("src", duration=1.0, fps=10.0, width=96, height=72)
+    delta = ingest.run(State(input_path=video))
+    meta = delta["metadata"]
+    assert meta["rotation"] == 0  # cv2-written mp4 carries no display matrix
+    if available():
+        assert meta.get("codec")  # e.g. "mpeg4"/"h264" depending on writer
+
+
+def test_av1_transcode_leg(tmp_cwd, monkeypatch):
+    """An AV1 probe triggers the transcode leg (reference main.py:117-170);
+    without an ffmpeg binary the ingest proceeds on the libav decode path."""
+    calls = []
+    monkeypatch.setattr(ingest, "probe_codec_rotation", lambda p: ("av1", 0))
+    monkeypatch.setattr(ingest, "_transcode_h264",
+                        lambda p: calls.append(p) or False)
+    video = make_synthetic_video("src", duration=1.0, fps=10.0, width=64, height=48)
+    delta = ingest.run(State(input_path=video))
+    assert calls, "AV1 probe must attempt the transcode leg"
+    assert delta["metadata"]["codec"] == "av1"
+
+
+def test_url_ingest_mocked_downloader(tmp_cwd, monkeypatch):
+    """Mocked URL ingestion (reference tests/test_in_node.py:54-92): the
+    downloader seam is patched, ingest lays out artifacts + corpus copy and
+    merges the downloader's metadata."""
+    import shutil
+
+    from fvd_tpu.providers.media import Downloader
+
+    src = make_synthetic_video("src", duration=1.0, fps=10.0, width=96, height=72)
+
+    def fake_download(self, url, output_dir, debug=False):
+        dst = os.path.join(output_dir, "video.mp4")
+        shutil.copy2(src, dst)
+        shutil.copy2(src.replace(".mp4", ".wav"), dst.replace(".mp4", ".wav"))
+        return dst, {"title": "Test Video", "uploader": "Test Uploader"}
+
+    monkeypatch.setattr(Downloader, "download", fake_download)
+    delta = ingest.run(State(input_path="https://example.com/watch?v=test"))
+    meta = delta["metadata"]
+    assert meta["title"] == "Test Video"
+    assert meta["fps"] == pytest.approx(10.0)
+    assert meta["rotation"] == 0
+    assert os.path.exists(os.path.join(delta["data_dir"], "video.mp4"))
+    # corpus copy (reference main.py:221-228)
+    assert any(f.endswith(".mp4") for f in os.listdir("videos"))
+
+
 def test_video_without_audio_track(tmp_cwd):
     # video only, no sibling wav
     from fvd_tpu.providers.media import write_video
