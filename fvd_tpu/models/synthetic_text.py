@@ -50,30 +50,33 @@ def render_line(rng: np.random.RandomState, text: str) -> np.ndarray:
     return img.astype(np.float32)[..., None] / 255.0
 
 
-def scene_crop_line(rng: np.random.RandomState, text: str) -> np.ndarray:
+def scene_crop_line(rng: np.random.RandomState, text: str,
+                    font: int | None = None) -> np.ndarray:
     """Render ``text`` into a detector-style scene and crop it the way
     ``read_text_batch`` does: region box (with detector-like jitter) ->
     grayscale -> resize to the recognizer line shape.  This is the exact
     inference distribution — scene background, box quantization noise and
     all — where :func:`render_line` is the clean upper bound.
+
+    ``font``: cv2 font face override (training always uses
+    FONT_HERSHEY_SIMPLEX; tools/eval_heldout.py passes held-out faces).
     """
     import cv2
 
+    if font is None:
+        font = cv2.FONT_HERSHEY_SIMPLEX
     scale = rng.uniform(0.4, 1.4)
     thickness = int(rng.randint(1, 4))
-    (tw, th), baseline = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX,
-                                         scale, thickness)
+    (tw, th), baseline = cv2.getTextSize(text, font, scale, thickness)
     if tw >= DET_SIZE - 6:
         scale *= (DET_SIZE - 8) / tw
-        (tw, th), baseline = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX,
-                                             scale, thickness)
+        (tw, th), baseline = cv2.getTextSize(text, font, scale, thickness)
     img = (rng.rand(DET_SIZE, DET_SIZE, 3) * 90).astype(np.uint8)
     img = cv2.blur(img, (5, 5))
     x = rng.randint(2, max(3, DET_SIZE - tw - 2))
     y = rng.randint(th + 2, DET_SIZE - baseline - 2)
     color = tuple(int(c) for c in rng.randint(170, 255, 3))
-    cv2.putText(img, text, (x, y), cv2.FONT_HERSHEY_SIMPLEX, scale, color,
-                thickness)
+    cv2.putText(img, text, (x, y), font, scale, color, thickness)
     # tight region box + detector-ish jitter of every edge
     x1 = max(0, x - 2 + rng.randint(-3, 4))
     y1 = max(0, y - th - 2 + rng.randint(-3, 4))
