@@ -107,34 +107,81 @@ def draw_face(
 
 
 def render_face(
-    rng: np.random.RandomState, size: int = 300, aperture: float | None = None
+    rng: np.random.RandomState, size: int = 300, aperture: float | None = None,
+    augment: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (image uint8 [size, size, 3], gt box [4] normalized corners,
-    landmarks [68, 2] in pixels)."""
+    landmarks [68, 2] in pixels).
+
+    ``augment``: generic robustness augmentations — in-plane rotation,
+    occluder shapes, background/photometric variety, wider shape + skin
+    ranges.  Broadens the training distribution toward real-capture
+    variation (the held-out gap lever, docs/ROUND1_STATUS.md); the
+    held-out eval renderer (tools/eval_heldout.py) stays unseen.
+    """
     import cv2
 
-    img = (rng.rand(size, size, 3) * 60 + rng.rand(3) * 120).astype(np.uint8)
-    # random noise texture
-    img = cv2.blur(img, (5, 5))
+    if augment and rng.rand() < 0.5:
+        # smooth gradient / solid background
+        base = rng.rand(3) * 200
+        ramp = np.linspace(0, rng.uniform(0, 90), size)
+        img = np.clip(base[None, None] + ramp[:, None, None], 0, 255).astype(np.uint8)
+        img = np.ascontiguousarray(img)
+    else:
+        img = (rng.rand(size, size, 3) * 60 + rng.rand(3) * 120).astype(np.uint8)
+        # random noise texture
+        img = cv2.blur(img, (5, 5))
 
-    fw = rng.uniform(0.25, 0.6) * size
-    fh = fw * rng.uniform(1.1, 1.4)
+    if augment:
+        fw = rng.uniform(0.22, 0.62) * size
+        fh = fw * rng.uniform(1.0, 1.6)
+        skin = np.array([rng.randint(130, 250), rng.randint(95, 210),
+                         rng.randint(75, 200)])
+    else:
+        fw = rng.uniform(0.25, 0.6) * size
+        fh = fw * rng.uniform(1.1, 1.4)
+        skin = np.array([
+            rng.randint(160, 230), rng.randint(120, 190), rng.randint(100, 170)
+        ])
     cx = rng.uniform(fw / 2 + 2, size - fw / 2 - 2)
     cy = rng.uniform(fh / 2 + 2, size - fh / 2 - 2)
-
-    skin = np.array([
-        rng.randint(160, 230), rng.randint(120, 190), rng.randint(100, 170)
-    ])
     pts = draw_face(img, cx, cy, fw, fh, skin, aperture)
+
+    if augment:
+        # occluders: random shapes that may cross the face
+        for _ in range(rng.randint(0, 3)):
+            color = tuple(int(c) for c in rng.randint(0, 255, 3))
+            p = (rng.randint(0, size), rng.randint(0, size))
+            if rng.rand() < 0.5:
+                q = (p[0] + rng.randint(5, size // 4), p[1] + rng.randint(3, size // 6))
+                cv2.rectangle(img, p, q, color, -1)
+            else:
+                cv2.ellipse(img, p, (rng.randint(4, size // 6), rng.randint(3, size // 8)),
+                            rng.uniform(0, 180), 0, 360, color, -1)
+        # in-plane rotation (gt landmarks + box follow)
+        angle = rng.uniform(-15, 15)
+        M = cv2.getRotationMatrix2D((cx, cy), angle, 1.0)
+        img = cv2.warpAffine(img, M, (size, size), flags=cv2.INTER_LINEAR)
+        pts = (pts @ M[:, :2].T + M[:, 2]).astype(np.float32)
+        # photometric jitter
+        gain = rng.uniform(0.7, 1.3)
+        bias = rng.uniform(-25, 25)
+        img = np.clip(img.astype(np.float32) * gain + bias, 0, 255).astype(np.uint8)
+        x1, y1 = pts[:, 0].min(), pts[:, 1].min()
+        x2, y2 = pts[:, 0].max(), pts[:, 1].max()
+        box = np.array([x1 / size, y1 / size, x2 / size, y2 / size], np.float32)
+        return img, np.clip(box, 0.0, 1.0), pts
 
     x1, y1 = cx - fw / 2, cy - fh / 2
     box = np.array([x1 / size, y1 / size, (x1 + fw) / size, (y1 + fh) / size], np.float32)
     return img, box, pts
 
 
-def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300):
+def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300,
+                   augment: bool = False):
     """Training batch for the SSD: (frames float mean-sub, labels, loc
-    targets) using fvd_tpu.ops.detection matching."""
+    targets) using fvd_tpu.ops.detection matching.  ``augment`` applies the
+    robustness augmentations to half of each batch."""
     from fvd_tpu.models.face_ssd import MEAN_RGB, anchors
     from fvd_tpu.ops import detection
 
@@ -144,7 +191,7 @@ def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300):
     locs = np.zeros((batch, A.shape[0], 4), np.float32)
     boxes_out = []
     for i in range(batch):
-        img, box, _ = render_face(rng, size)
+        img, box, _ = render_face(rng, size, augment=augment and i % 2 == 0)
         frames[i] = img.astype(np.float32) - np.asarray(MEAN_RGB)
         lab, matched = detection.match_anchors(box[None], A)
         enc = np.array(detection.encode_boxes(matched, A))
@@ -155,9 +202,11 @@ def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300):
     return frames, labels, locs, np.stack(boxes_out)
 
 
-def landmark_batch(rng: np.random.RandomState, batch: int, crop: int = 128):
+def landmark_batch(rng: np.random.RandomState, batch: int, crop: int = 128,
+                   augment: bool = False):
     """Training batch for the hourglass: (crops float 0..1, targets [B,68,2]
-    in [0,1]) — rendered faces cropped around the gt box with jitter."""
+    in [0,1]) — rendered faces cropped around the gt box with jitter.
+    ``augment`` applies the robustness augmentations to half of each batch."""
     import cv2
 
     crops = np.zeros((batch, crop, crop, 3), np.float32)
@@ -165,7 +214,8 @@ def landmark_batch(rng: np.random.RandomState, batch: int, crop: int = 128):
     for i in range(batch):
         # varied mouth aperture: the regressor must read the opening from
         # pixels (C1's MAR signal), not memorize the template
-        img, box, pts = render_face(rng, 256, aperture=rng.uniform(0.0, 1.0))
+        img, box, pts = render_face(rng, 256, aperture=rng.uniform(0.0, 1.0),
+                                    augment=augment and i % 2 == 0)
         size = 256
         x1, y1, x2, y2 = (box * size).astype(int)
         # jittered crop

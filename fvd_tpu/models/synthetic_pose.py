@@ -48,16 +48,18 @@ def warp_by_rotation(img: np.ndarray, R: np.ndarray, depth: float = 2.0) -> np.n
 
 
 def pose_batch(
-    rng: np.random.RandomState, batch: int, max_angle: float = 40.0
+    rng: np.random.RandomState, batch: int, max_angle: float = 40.0,
+    augment: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """-> (crops float [B, 128, 128, 3] 0..1, R [B, 3, 3], euler_deg [B, 3])."""
+    """-> (crops float [B, 128, 128, 3] 0..1, R [B, 3, 3], euler_deg [B, 3]).
+    ``augment`` applies the robustness augmentations to half of each batch."""
     import cv2
 
     crops = np.zeros((batch, CROP_SIZE, CROP_SIZE, 3), np.float32)
     Rs = np.zeros((batch, 3, 3), np.float64)
     eulers = np.zeros((batch, 3), np.float64)
     for i in range(batch):
-        img, box, _ = render_face(rng, 192)
+        img, box, _ = render_face(rng, 192, augment=augment and i % 2 == 0)
         x1, y1, x2, y2 = (box * 192).astype(int)
         face = img[max(0, y1) : y2, max(0, x1) : x2]
         if face.size == 0:

@@ -22,7 +22,7 @@ import numpy as np
 
 
 def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
-                   resume: bool = False, lr: float = 1e-3):
+                   resume: bool = False, lr: float = 1e-3, augment: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +49,7 @@ def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
 
     t0 = time.perf_counter()
     for i in range(start_step, start_step + steps):
-        frames, labels, locs, _ = detector_batch(rng, batch)
+        frames, labels, locs, _ = detector_batch(rng, batch, augment=augment)
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(frames), jnp.asarray(labels), jnp.asarray(locs)
         )
@@ -87,7 +87,7 @@ def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
 
 
 def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1,
-                    resume: bool = False, lr: float = 1e-3):
+                    resume: bool = False, lr: float = 1e-3, augment: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -104,7 +104,7 @@ def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1,
 
     t0 = time.perf_counter()
     for i in range(steps):
-        crops, targets = landmark_batch(rng, batch)
+        crops, targets = landmark_batch(rng, batch, augment=augment)
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(crops), jnp.asarray(targets)
         )
@@ -128,7 +128,7 @@ def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1,
 
 
 def train_pose(steps: int, batch: int, width: int, out: str, seed: int = 2,
-               resume: bool = False, lr: float = 1e-3):
+               resume: bool = False, lr: float = 1e-3, augment: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -153,7 +153,7 @@ def train_pose(steps: int, batch: int, width: int, out: str, seed: int = 2,
 
     t0 = time.perf_counter()
     for i in range(steps):
-        crops, Rs, _ = pose_batch(rng, batch)
+        crops, Rs, _ = pose_batch(rng, batch, augment=augment)
         params, opt_state, loss = step(params, opt_state, jnp.asarray(crops),
                                        jnp.asarray(Rs))
         if i % 100 == 0 or i == steps - 1:
@@ -182,6 +182,8 @@ def main():
     ap.add_argument("--only", choices=["det", "lmk", "pose"], default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--augment", action="store_true",
+                    help="robustness augmentations on half of each batch")
     args = ap.parse_args()
 
     import jax
@@ -190,15 +192,15 @@ def main():
     if args.only in (None, "det"):
         train_detector(args.steps, args.batch, args.det_width,
                        os.path.join(args.out_dir, "face_ssd.npz"),
-                       resume=args.resume, lr=args.lr)
+                       resume=args.resume, lr=args.lr, augment=args.augment)
     if args.only in (None, "lmk"):
         train_landmarks(args.steps, args.batch, args.lmk_width,
                         os.path.join(args.out_dir, "landmarks.npz"),
-                        resume=args.resume, lr=args.lr)
+                        resume=args.resume, lr=args.lr, augment=args.augment)
     if args.only in (None, "pose"):
         train_pose(args.steps, args.batch, 32,
                    os.path.join(args.out_dir, "pose.npz"),
-                   resume=args.resume, lr=args.lr)
+                   resume=args.resume, lr=args.lr, augment=args.augment)
 
 
 if __name__ == "__main__":
