@@ -272,12 +272,9 @@ class JaxASR:
             for off in range(s0, s1, chunk_samples):
                 pieces.append((off, y[off: min(off + chunk_samples, s1)]))
 
-        # shape bucket: pad the window count to the next power of two so a
-        # video corpus with varying pause structure compiles each program once
         p = len(pieces)
-        bucket = 1 << max(2, (p - 1).bit_length())
-        batch = np.zeros((bucket, chunk_samples), np.float32)
-        n_frames = np.zeros(bucket, np.int32)
+        rows = np.zeros((p, chunk_samples), np.float32)
+        n_frames = np.zeros(p, np.int32)
         # deterministic dither matching the training noise floor
         # (tools/pretrain_asr.py trains on tone_speech(text, rng) = +0.01
         # randn; a clean studio-silent signal is out-of-distribution and
@@ -285,11 +282,38 @@ class JaxASR:
         dither = np.random.RandomState(0)
         for i, (_, seg) in enumerate(pieces):
             n = len(seg)
-            batch[i, :n] = seg + self.dither * dither.randn(n).astype(np.float32)
+            rows[i, :n] = seg + self.dither * dither.randn(n).astype(np.float32)
             n_frames[i] = min(1 + n // HOP, self.chunk_frames)
-        mels = _mel_masked(jnp.asarray(batch), jnp.asarray(n_frames))
-        tokens = greedy_decode(self.params, mels, dim=self.dim,
-                               depth=self.depth, max_tokens=self.max_tokens)
+
+        # decode all windows in one mel + one greedy-decode dispatch, padded
+        # to a power-of-two bucket so varying pause structure reuses one
+        # compiled program; under multi-video overlap the window batches of
+        # concurrent videos coalesce into the same dispatch
+        from fvd_tpu.providers.coalesce import run_program
+
+        def _run_batch(payloads):
+            all_rows = np.concatenate([r for r, _ in payloads])
+            all_nf = np.concatenate([f for _, f in payloads])
+            total = len(all_rows)
+            bucket = 1 << max(2, (total - 1).bit_length())
+            if bucket > total:
+                all_rows = np.concatenate(
+                    [all_rows, np.zeros((bucket - total, chunk_samples), np.float32)])
+                all_nf = np.concatenate([all_nf, np.zeros(bucket - total, np.int32)])
+            mels = _mel_masked(jnp.asarray(all_rows), jnp.asarray(all_nf))
+            toks = np.asarray(greedy_decode(  # one fetch for the group
+                self.params, mels, dim=self.dim, depth=self.depth,
+                max_tokens=self.max_tokens))
+            out, o = [], 0
+            for r, _ in payloads:
+                out.append(toks[o: o + len(r)])
+                o += len(r)
+            return out
+
+        tokens = run_program(
+            "a2_decode",
+            (id(self), chunk_samples, self.chunk_frames, self.max_tokens),
+            (rows, n_frames), _run_batch)
         segments = []
         texts = []
         for (off, seg), row in zip(pieces, np.asarray(tokens)):

@@ -37,8 +37,22 @@ def run(state: State, config: Config = default_config()) -> StateDelta:
     target_sr = config.audio.target_sr
     samples, sr = read_wav(input_path)
     mono = to_mono(samples)
-    resampled_dev = resample(mono, sr, target_sr)  # stays on device for A2/A3
-    resampled = np.asarray(resampled_dev)
+    if sr == target_sr:
+        resampled_dev = resample(mono, sr, target_sr)  # asarray only
+        resampled = np.asarray(resampled_dev)
+    else:
+        # cross-video coalesced resample: overlapped videos with the same
+        # (length, rates) run as ONE batched dispatch + ONE fetch
+        from fvd_tpu.ops.resample import resample_batch
+        from fvd_tpu.providers.coalesce import run_program
+
+        def _run_batch(monos):
+            out = resample_batch(np.stack(monos), sr, target_sr)
+            host = np.asarray(out)  # one fetch for the group
+            return [(host[i], out[i]) for i in range(len(monos))]
+
+        resampled, resampled_dev = run_program(
+            "a1_resample", (len(mono), sr, target_sr), mono, _run_batch)
 
     output_path = os.path.join(output_dir, "audio_16k.wav")
     write_wav(output_path, resampled, target_sr)

@@ -45,13 +45,14 @@ def run(state: State, config: Config = default_config()) -> StateDelta:
     fps = metadata.get("fps", 30.0)
     duration = metadata.get("duration")
 
-    # Whole front-end in ONE device dispatch (onsets + envelope).
+    # Whole front-end in ONE device dispatch (onsets + envelope); under
+    # multi-video overlap the dispatch + fetch coalesce across videos
+    # (providers/coalesce.py run_program).
     frames_per_s = sr / cfg.hop_length
     to_frames = lambda s: max(int(round(s * frames_per_s)), 1)
     env_hop = int(sr / fps)
     env_target = int(duration * fps) if duration else 0
-    mask, envelope = spectral.audio_frontend_program(
-        y,
+    params = dict(
         sr=sr,
         n_fft=cfg.n_fft,
         hop=cfg.hop_length,
@@ -66,6 +67,18 @@ def run(state: State, config: Config = default_config()) -> StateDelta:
         env_hop=env_hop,
         env_target=env_target,
     )
+
+    from fvd_tpu.providers.coalesce import run_program
+
+    def _run_batch(ys):
+        masks, envs = spectral.audio_frontend_program_batch(
+            jnp.stack([jnp.asarray(v, jnp.float32) for v in ys]), **params)
+        masks, envs = np.asarray(masks), np.asarray(envs)  # one fetch
+        return list(zip(masks, envs))
+
+    mask, envelope = run_program(
+        "a3_frontend", (int(y.shape[0]),) + tuple(sorted(params.items())),
+        y, _run_batch)
     onset_frames = np.nonzero(np.asarray(mask))[0]
     onset_list = [float(f * cfg.hop_length / sr) for f in onset_frames]
     envelope_list = np.asarray(envelope).tolist()

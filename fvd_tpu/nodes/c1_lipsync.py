@@ -94,16 +94,30 @@ def run(state: State, config: Config = default_config()) -> StateDelta:
             audio_signal,
         )
 
-    result = lipsync.lip_sync_score(
-        mouth_signal,
-        audio_signal,
-        fps,
+    kwargs = dict(
         window_duration_s=cfg.window_duration_s,
         max_lag_s=cfg.max_lag_s,
         silence_std=cfg.silence_std_threshold,
         sharpness_threshold=cfg.sharpness_threshold,
         sharpness_penalty=cfg.sharpness_penalty,
     )
+    from fvd_tpu.providers.coalesce import program_coalescing_active, run_program
+
+    if program_coalescing_active():
+        # multi-video overlap: same-length signal pairs score as ONE
+        # batched XLA dispatch + fetch (numerics identical to the
+        # single-video Pallas/XLA kernel, tested)
+        def _run_batch(pairs):
+            mouths = np.stack([m for m, _ in pairs]).astype(np.float32)
+            audios = np.stack([a for _, a in pairs]).astype(np.float32)
+            return lipsync.lip_sync_score_batch(mouths, audios, fps, **kwargs)
+
+        result = run_program(
+            "c1_lipsync",
+            (len(mouth_signal), float(fps)) + tuple(sorted(kwargs.items())),
+            (mouth_signal, audio_signal), _run_batch)
+    else:
+        result = lipsync.lip_sync_score(mouth_signal, audio_signal, fps, **kwargs)
     score = float(result.score)
 
     dump_node_debug(

@@ -340,3 +340,33 @@ def lip_sync_score(
         use_pallas = jax.default_backend() == "tpu"
     fn = lip_sync_score_pallas if use_pallas else lip_sync_score_xla
     return fn(jnp.asarray(mouth), jnp.asarray(audio), float(fps), **kwargs)
+
+
+_batch_score_cache: dict = {}
+
+
+def lip_sync_score_batch(
+    mouths: np.ndarray,
+    audios: np.ndarray,
+    fps: float,
+    **kwargs,
+) -> "list[LipSyncResult]":
+    """Batched scoring of same-length signal pairs ``[B, n]`` — one XLA
+    dispatch + one host fetch for a whole group of overlapped videos (the
+    cross-video program-coalescer path, providers/coalesce.py).  Numerics
+    identical to per-video :func:`lip_sync_score_xla` (vmap of the same
+    program; the XLA and Pallas paths are bit-identical, tested)."""
+    import jax as _jax
+
+    key = (int(np.shape(mouths)[1]), float(fps)) + tuple(sorted(kwargs.items()))
+    fn = _batch_score_cache.get(key)
+    if fn is None:
+        fn = _jax.jit(_jax.vmap(
+            lambda m, a: lip_sync_score_xla(m, a, float(fps), **kwargs)))
+        _batch_score_cache[key] = fn
+    res = fn(jnp.asarray(mouths, jnp.float32), jnp.asarray(audios, jnp.float32))
+    scores = np.asarray(res.score)
+    n_windows = np.asarray(res.n_windows)
+    n_valid = np.asarray(res.n_valid)
+    return [LipSyncResult(score=scores[i], n_windows=n_windows[i],
+                          n_valid=n_valid[i]) for i in range(len(scores))]

@@ -70,3 +70,20 @@ def resample(x, orig_sr: int, target_sr: int):
     out_len = -(-x.shape[0] * L // M)  # ceil
     h = jnp.asarray(_design_lowpass(L, M))
     return _resample_conv(x, h, L, M, out_len)
+
+
+_resample_batch_cache: dict = {}
+
+
+def resample_batch(xs, orig_sr: int, target_sr: int):
+    """vmapped :func:`resample` over same-length signals ``xs [B, n]`` —
+    the cross-video-coalesced A1 path (one dispatch per group of
+    overlapped videos instead of one per video)."""
+    if orig_sr == target_sr:
+        return jnp.asarray(xs, jnp.float32)
+    key = (int(xs.shape[1]), orig_sr, target_sr)
+    fn = _resample_batch_cache.get(key)
+    if fn is None:
+        fn = jax.jit(jax.vmap(lambda x: resample(x, orig_sr, target_sr)))
+        _resample_batch_cache[key] = fn
+    return fn(jnp.asarray(xs, jnp.float32))

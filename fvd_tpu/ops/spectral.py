@@ -260,3 +260,22 @@ def fps_aligned_envelope(
         if rms.shape[0] != target:
             rms = interp_to_length(rms, target)
     return rms
+
+
+_frontend_batch_cache: dict = {}
+
+
+def audio_frontend_program_batch(xs: jax.Array, **params):
+    """vmapped :func:`audio_frontend_program` over same-length signals
+    ``xs [B, n]`` -> (masks [B, F], envelopes [B, T]).
+
+    One compiled program per (n, params) combination, cached — the
+    cross-video coalescer (providers/coalesce.py run_program) turns the
+    per-video A3 dispatch+fetch round trips into one of each per group.
+    """
+    key = (int(xs.shape[1]),) + tuple(sorted(params.items()))
+    fn = _frontend_batch_cache.get(key)
+    if fn is None:
+        fn = jax.jit(jax.vmap(lambda x: audio_frontend_program(x, **params)))
+        _frontend_batch_cache[key] = fn
+    return fn(xs)

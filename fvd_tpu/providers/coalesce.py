@@ -411,6 +411,71 @@ class CoalescingClip:
         self._co.close()
 
 
+# ---------------------------------------------------------------------------
+# Cross-video coalescing of per-video OPS programs (audio chain + lip-sync)
+# ---------------------------------------------------------------------------
+# The vision forwards above coalesce through provider seams; the audio
+# programs (A1 resample, A2 mel+decode, A3 front-end, C1 lip-sync) are
+# called straight from their nodes, one small dispatch + fetch per video.
+# Behind a degraded tunnel those round trips — ~6 per video — dominate the
+# per-video cost.  ``run_program`` funnels them through one shared
+# coalescer: concurrent videos' identical-shape programs run as ONE batched
+# dispatch with ONE result fetch.
+
+_program_co: Optional[_Coalescer] = None
+_program_co_lock = threading.Lock()
+
+
+def _run_program_group(key: tuple, payloads: List[Any]) -> List[Any]:
+    # every payload sharing a key carries an equivalent run_batch — use the
+    # first (they close over the same op + parameters by construction)
+    run_batch = payloads[0][1]
+    return run_batch([p[0] for p in payloads])
+
+
+def run_program(kind: str, key: tuple, payload: Any,
+                run_batch: Callable[[List[Any]], List[Any]]) -> Any:
+    """Run one per-video device program, cross-video batched when the
+    program coalescer is active (multi-video overlap).
+
+    ``run_batch(payloads) -> results`` must batch the program over the
+    group — stack inputs, ONE dispatch, ONE host fetch, split.  Calls with
+    equal ``(kind, key)`` are batched together, so the key must pin every
+    shape/static parameter of the program AND the parameter identity of
+    any model involved.
+    """
+    co = _program_co
+    if co is None:
+        return run_batch([payload])[0]
+    return co.submit((kind,) + tuple(key), 1, (payload, run_batch)).result()
+
+
+def program_coalescing_active() -> bool:
+    return _program_co is not None
+
+
+def _activate_program_coalescer(max_wait_ms: float) -> Callable[[], None]:
+    """Install the process-wide program coalescer; returns a deactivator.
+    Nested activations (bench wraps, then run_pipeline_many wraps again)
+    are no-ops that must not deactivate the outer one."""
+    global _program_co
+    with _program_co_lock:
+        if _program_co is not None:
+            return lambda: None
+        co = _Coalescer(_run_program_group, max_total=16,
+                        max_wait_ms=max_wait_ms)
+        _program_co = co
+
+    def deactivate() -> None:
+        global _program_co
+        with _program_co_lock:
+            if _program_co is co:
+                _program_co = None
+        co.close()
+
+    return deactivate
+
+
 def coalesce_providers(providers, bucket_frames: int = 512,
                        detect_bucket_frames: int = 256,
                        max_wait_ms: float = 6.0):
@@ -435,6 +500,10 @@ def coalesce_providers(providers, bucket_frames: int = 512,
         or isinstance(getattr(providers, "clip", None), CoalescingClip)
     ):
         return providers, lambda: None  # already coalescing (idempotent)
+
+    # per-video ops programs (audio chain, lip-sync) coalesce regardless of
+    # which providers are wrapped — they run for fixture bundles too
+    deactivate_programs = _activate_program_coalescer(max_wait_ms)
     if lm is not None and getattr(lm, "accepts_device_frames", False):
         clm = CoalescingLandmarks(lm, bucket_frames=bucket_frames,
                                   max_wait_ms=max_wait_ms)
@@ -458,10 +527,11 @@ def coalesce_providers(providers, bucket_frames: int = 512,
         wrapped.append(cclip)
 
     if not changes:
-        return providers, lambda: None
+        return providers, deactivate_programs
     out = dataclasses.replace(providers, **changes)
 
     def close() -> None:
+        deactivate_programs()
         for w in wrapped:
             w.close()
 

@@ -303,3 +303,67 @@ def test_pose_boxes_attr_none_when_inner_lacks_it():
         assert getattr(co, "pose_boxes_batch", None) is None
     finally:
         co.close()
+
+
+def test_run_program_inactive_runs_directly():
+    from fvd_tpu.providers import coalesce
+
+    calls = []
+
+    def run_batch(payloads):
+        calls.append(len(payloads))
+        return [p * 2 for p in payloads]
+
+    assert not coalesce.program_coalescing_active()
+    assert coalesce.run_program("x", (1,), 21, run_batch) == 42
+    assert calls == [1]
+
+
+def test_run_program_coalesces_concurrent_calls():
+    """Concurrent same-key programs run as one batched group; different
+    keys stay separate; results map back to their callers."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from fvd_tpu.providers import coalesce
+
+    deactivate = coalesce._activate_program_coalescer(max_wait_ms=30.0)
+    try:
+        batch_sizes = []
+
+        def run_batch(payloads):
+            batch_sizes.append(len(payloads))
+            return [p + 100 for p in payloads]
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            futs = [pool.submit(coalesce.run_program, "k",
+                                (7,), i, run_batch) for i in range(8)]
+            results = [f.result() for f in futs]
+        assert results == [100 + i for i in range(8)]
+        assert sum(batch_sizes) == 8
+        assert max(batch_sizes) > 1  # at least one group actually merged
+    finally:
+        deactivate()
+    assert not coalesce.program_coalescing_active()
+
+
+def test_pipeline_results_identical_with_program_coalescing(tmp_cwd):
+    """The audio-chain + lip-sync features of an overlapped run must equal
+    the sequential run's (the coalesced programs are vmaps of the same
+    kernels)."""
+    import dataclasses
+
+    from fvd_tpu.batch import run_pipeline, run_pipeline_many
+    from fvd_tpu.config import default_config
+    from fvd_tpu.graph import build_graph  # noqa: F401  (config only)
+    from fvd_tpu.synthetic import hermetic_providers, make_synthetic_video
+
+    videos = [make_synthetic_video("m", name=f"v{i}", duration=3.0, fps=10.0,
+                                   width=96, height=72) for i in range(2)]
+    providers = hermetic_providers(fps=10.0)
+    config = default_config()
+    seq = [run_pipeline(v, None, config, providers) for v in videos]
+    par = run_pipeline_many(videos, config, providers, concurrency=2)
+    # vmapped programs may round differently than their single-signal
+    # compilations (batched matmul/reduce orders); equality holds to
+    # float32 working precision, not bit-exactly
+    assert seq == pytest.approx(par, abs=2e-3)

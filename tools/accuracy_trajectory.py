@@ -33,6 +33,11 @@ def main(argv=None) -> int:
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the harness pins "
                          "jax_platforms at import; see CLAUDE.md)")
+    ap.add_argument("--fresh-weights", action="store_true",
+                    help="start from all-zero LR weights instead of the "
+                         "shipped pretrained ones — records the full "
+                         "online-learning climb, mirroring the reference's "
+                         "63.64%%->100%% arc")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -60,18 +65,39 @@ def main(argv=None) -> int:
     set_providers(production_providers(
         checkpoint_dir=os.path.join(REPO, "checkpoints"), recorded_services=True))
 
+    if args.fresh_weights and not os.path.exists("lr_weights.json"):
+        import json
+
+        from fvd_tpu.ops.fusion import FEATURE_ORDER
+
+        with open("lr_weights.json", "w") as f:
+            json.dump({"bias": 0.0, **{k: 0.0 for k in FEATURE_ORDER}}, f)
+        print("starting from all-zero LR weights")
+
     accs = []
+    attempts = []
     for run in range(1, args.runs + 1):
         results = f"results/batch_results{run}.txt"
         print(f"=== run {run}/{args.runs} (--train) ===", flush=True)
-        batch.main(["--train", "--results", results])
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            batch.main(["--train", "--results", results])
+        out = buf.getvalue()
+        print(out, flush=True)
         with open(results) as f:
             table = f.read()
         m = re.search(r"Total Accuracy: ([0-9.]+)%", table)
         accs.append(float(m.group(1)) if m else float("nan"))
-        print(f"run {run}: accuracy {accs[-1]}%", flush=True)
+        # total SGD retries this run: the online-learning effort curve
+        attempts.append(sum(int(a) for a in re.findall(r"attempts=(\d+)", out)))
+        print(f"run {run}: accuracy {accs[-1]}% (total attempts {attempts[-1]})",
+              flush=True)
 
     print("trajectory:", " -> ".join(f"{a:.2f}%" for a in accs))
+    print("attempts:  ", " -> ".join(str(a) for a in attempts))
     return 0
 
 

@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CKPT = os.path.join(REPO, "checkpoints")
+CKPT = os.path.join(REPO, "checkpoints")  # overridable via --ckpt-dir
 
 
 # ---------------------------------------------------------------------------
@@ -236,7 +236,13 @@ def main(argv=None) -> int:
     ap.add_argument("--json", default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--only", choices=["det", "lmk", "pose", "ocr"], default=None)
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="evaluate checkpoints from this directory instead")
     args = ap.parse_args(argv)
+
+    if args.ckpt_dir:
+        global CKPT
+        CKPT = os.path.abspath(args.ckpt_dir)
 
     if args.cpu:
         import jax
