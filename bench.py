@@ -129,18 +129,28 @@ def main() -> None:
     # framework throughput from transient transport degradation.  At least
     # 3 passes, up to 6: keep going while passes still improve on the best
     # (a degraded window recovering mid-bench), stop once converged.
+    from fvd_tpu.runtime.tracer import Tracer, set_tracer
+
     best = None
+    best_spans = None
     for attempt in range(6):
         log(f"measuring pass {attempt + 1} (8-way cross-video overlap)...")
+        tracer = set_tracer(Tracer(use_jax_annotations=False))
         t0 = time.perf_counter()
         probs = run_pipeline_many(videos, config, providers, concurrency=8)
         elapsed = time.perf_counter() - t0
+        set_tracer(None)
         log(f"  pass {attempt + 1}: {n_videos} videos in {elapsed:.2f}s "
             f"-> {elapsed / n_videos:.2f}s/video")
         prev_best = best
-        best = elapsed if best is None else min(best, elapsed)
+        if best is None or elapsed < best:
+            best, best_spans = elapsed, tracer.summary()
         if attempt >= 2 and prev_best is not None and elapsed >= prev_best:
             break  # stopped improving (a recovering tunnel keeps improving)
+    # where the best pass spent its (overlapped) time — the degraded-window
+    # diagnosis the next optimization round needs
+    for name, secs in sorted((best_spans or {}).items(), key=lambda kv: -kv[1])[:12]:
+        log(f"  span {name:20s} {secs:7.2f}s (sum over 8 overlapped videos)")
     if not fixtures:
         _close_coalesce()  # join the coalescer threads before reporting
     per_video = best / n_videos

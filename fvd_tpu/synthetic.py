@@ -66,6 +66,7 @@ def make_face_video(
     audio_offset_s: float = 0.0,
     texture_noise: float = 0.0,
     pose_jitter: float = 0.0,
+    mouth_gate_hz: float | None = None,
 ) -> str:
     """Procedural-face video for the real-model path: an elliptical face
     (the trained detector/landmark nets' domain, models/synthetic_faces.py)
@@ -83,8 +84,12 @@ def make_face_video(
     lr_weights.json: texture +0.82, lip_sync -0.46, headpose_jerk +0.08):
 
     * ``audio_offset_s`` — delay the audio track relative to the mouth
-      gate (circular shift): breaks A/V sync, driving C1's lip-sync score
-      down.
+      gate (circular shift).  NOTE: C1 searches lags up to ±max_lag_s
+      (0.5 s), and a periodic gate realigns at full periods — a true
+      lip-sync break needs ``mouth_gate_hz``.
+    * ``mouth_gate_hz`` — drive the mouth at a different (incommensurate)
+      frequency than the audio gate: the dubbed/face-swapped mouth that no
+      lag can align, collapsing C1's score.
     * ``texture_noise`` — additive Gaussian noise (that sigma) inside the
       face region only: the blend-seam/GAN-artifact analog V5's forensic
       analysis reacts to.
@@ -105,9 +110,10 @@ def make_face_video(
     fw = fh / 1.25
     n = int(fps * duration)
     frames = np.zeros((n, height, width, 3), np.uint8)
+    mouth_hz = gate_hz if mouth_gate_hz is None else mouth_gate_hz
     for i in range(n):
         t = i / fps
-        gate = 0.5 * (1 + np.sin(2 * np.pi * gate_hz * t))
+        gate = 0.5 * (1 + np.sin(2 * np.pi * mouth_hz * t))
         cx = width / 2 + 0.06 * width * np.sin(2 * np.pi * 0.05 * t)
         cy = height / 2 + 0.04 * height * np.cos(2 * np.pi * 0.07 * t)
         if pose_jitter > 0:

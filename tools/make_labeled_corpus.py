@@ -45,12 +45,13 @@ SENTENCES = [
 
 #: per-fake manipulation recipes (cycled): desync-only, texture-only,
 #: all-three, desync+texture — the corpus shouldn't be separable on one
-#: feature alone
+#: feature alone.  Desync = incommensurate mouth frequency (a lag shift
+#: alone stays inside C1's ±0.5 s search window and never breaks sync).
 FAKE_RECIPES = [
-    {"audio_offset_s": 0.45},
+    {"mouth_gate_hz": 1.37},
     {"texture_noise": 14.0},
-    {"audio_offset_s": 0.45, "texture_noise": 14.0, "pose_jitter": 2.5},
-    {"audio_offset_s": 0.35, "texture_noise": 10.0},
+    {"mouth_gate_hz": 1.37, "texture_noise": 14.0, "pose_jitter": 2.5},
+    {"mouth_gate_hz": 0.71, "texture_noise": 10.0},
 ]
 
 
