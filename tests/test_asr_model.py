@@ -91,3 +91,38 @@ def test_trained_asr_reads_tone_speech(tmp_path):
         total += len(text)
         ok += sum(a == b for a, b in zip(got, text))
     assert ok / total >= 0.6, f"char accuracy {ok}/{total}"
+
+
+def test_formant_speech_synthesis_structure():
+    """The formant synthesizer (models/synthetic_speech.py) renders
+    speech-shaped audio: harmonic vowels at their formant targets, stop
+    closures, fricative noise — the phoneme-like training domain the
+    real-speech ASR capability rests on."""
+    from fvd_tpu.models.synthetic_speech import SR, formant_speech
+
+    rng = np.random.RandomState(0)
+    a = formant_speech("the mayor said", rng)
+    assert a.dtype == np.float32 and len(a) > SR  # ~1.3 s
+    assert 0.2 < np.abs(a).max() <= 0.5
+
+    # vowel 'a': spectral peak near F1=730 Hz
+    seg = formant_speech("aaaa", rng)
+    sp = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    freqs = np.fft.rfftfreq(len(seg), 1 / SR)
+    band = (freqs > 200) & (freqs < 1200)
+    peak = freqs[band][np.argmax(sp[band])]
+    assert 550 < peak < 950, peak
+
+    # fricative 's' carries most energy above 3 kHz; vowel 'a' does not
+    def hf_ratio(x):
+        s = np.abs(np.fft.rfft(x)) ** 2
+        f = np.fft.rfftfreq(len(x), 1 / SR)
+        return s[f > 3000].sum() / (s.sum() + 1e-9)
+
+    assert hf_ratio(formant_speech("ssss", rng)) > 0.5
+    assert hf_ratio(formant_speech("aaaa", rng)) < 0.2
+
+    # deterministic for a fixed rng seed
+    b = formant_speech("the mayor said", np.random.RandomState(0))
+    c = formant_speech("the mayor said", np.random.RandomState(0))
+    assert np.array_equal(b, c)

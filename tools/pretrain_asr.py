@@ -22,20 +22,63 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 from fvd_tpu.synthetic import TONE_ALPHABET as ALPHABET
-from fvd_tpu.synthetic import TONE_CHAR_S as CHAR_S
+from fvd_tpu.synthetic import TONE_CHAR_S
 from fvd_tpu.synthetic import TONE_SR as SR
-from fvd_tpu.synthetic import tone_speech as text_to_audio
+from fvd_tpu.synthetic import tone_speech
+
+_VOWELS = "aeiou"
+_CONSONANTS = "bcdfghjklmnpqrstvwxyz"
 
 
-def random_utterance(rng: np.random.RandomState, min_len=3, max_len=10) -> str:
+def random_letters(rng: np.random.RandomState, min_len=3, max_len=10) -> str:
     n = rng.randint(min_len, max_len + 1)
     return "".join(ALPHABET[rng.randint(len(ALPHABET))] for _ in range(n))
+
+
+def random_pronounceable(rng: np.random.RandomState, min_len=3, max_len=10) -> str:
+    """CV(C) syllables — pronounceable strings whose formant renderings
+    carry well-defined consonant-vowel transitions."""
+    out = []
+    n = rng.randint(min_len, max_len + 1)
+    while len(out) < n:
+        out.append(_CONSONANTS[rng.randint(len(_CONSONANTS))])
+        out.append(_VOWELS[rng.randint(len(_VOWELS))])
+        if rng.rand() < 0.3:
+            out.append(_CONSONANTS[rng.randint(len(_CONSONANTS))])
+        if rng.rand() < 0.25 and len(out) < n:
+            out.append(" ")
+    return "".join(out[:n]).strip() or "ba"
+
+
+class Domain:
+    """Audio-rendering domain: tone-coded alphabet (round-1 checkpoint) or
+    formant-synthesized speech (models/synthetic_speech.py)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        if name == "tone":
+            self.char_s = TONE_CHAR_S
+            self.render = tone_speech
+            self.utterance = random_letters
+        else:
+            from fvd_tpu.models.synthetic_speech import PHONE_S, formant_speech
+
+            self.char_s = PHONE_S
+            self.render = lambda text, rng=None: formant_speech(
+                text, rng or np.random.RandomState(0))
+            self.utterance = random_pronounceable
+
+
+CHAR_S = TONE_CHAR_S  # default (tone); overridden per-domain in asr_batch
+text_to_audio = tone_speech
+random_utterance = random_letters
 
 
 _batched_log_mel = None
 
 
-def asr_batch(rng, batch: int, tok, mel_frames: int, max_tokens: int):
+def asr_batch(rng, batch: int, tok, mel_frames: int, max_tokens: int,
+              domain=None):
     """Host work is numpy-only; the log-mel frontend runs as ONE batched
     device program per step (a per-sample jnp dispatch inside this loop
     would starve the single host core, CLAUDE.md environment rules)."""
@@ -48,16 +91,17 @@ def asr_batch(rng, batch: int, tok, mel_frames: int, max_tokens: int):
     if _batched_log_mel is None:
         _batched_log_mel = jax.jit(jax.vmap(log_mel))
 
+    domain = domain or Domain("tone")
     max_chars = 10
-    pad_len = int(SR * CHAR_S) * max_chars
+    pad_len = int(SR * domain.char_s) * max_chars
     audio = np.zeros((batch, pad_len), np.float32)
     lens = np.zeros(batch, np.int64)
     tokens_in = np.zeros((batch, max_tokens), np.int32)
     tokens_out = np.zeros((batch, max_tokens), np.int32)
     texts = []
     for i in range(batch):
-        text = random_utterance(rng)
-        a = text_to_audio(text, rng)
+        text = domain.utterance(rng)
+        a = domain.render(text, rng)
         n = min(len(a), pad_len)
         audio[i, :n] = a[:n]
         lens[i] = n
@@ -80,8 +124,13 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--depth", type=int, default=2)
-    ap.add_argument("--out", default="checkpoints/asr.npz")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--domain", choices=["tone", "formant"], default="tone")
     args = ap.parse_args()
+    if args.out is None:
+        args.out = ("checkpoints/asr.npz" if args.domain == "tone"
+                    else "checkpoints/asr_formant.npz")
+    domain = Domain(args.domain)
 
     import jax
     import jax.numpy as jnp
@@ -114,7 +163,8 @@ def main():
 
     t0 = time.perf_counter()
     for i in range(args.steps):
-        mel, tin, tout, _ = asr_batch(rng, args.batch, tok, mel_frames, max_tokens)
+        mel, tin, tout, _ = asr_batch(rng, args.batch, tok, mel_frames, max_tokens,
+                                      domain=domain)
         params, opt_state, loss = step(params, opt_state, jnp.asarray(mel),
                                        jnp.asarray(tin), jnp.asarray(tout))
         if i % 100 == 0 or i == args.steps - 1:
@@ -122,7 +172,8 @@ def main():
                   f"({time.perf_counter() - t0:.1f}s)", flush=True)
 
     # eval: greedy-decode fresh utterances
-    mel, _, _, texts = asr_batch(rng, 16, tok, mel_frames, max_tokens)
+    mel, _, _, texts = asr_batch(rng, 16, tok, mel_frames, max_tokens,
+                                 domain=domain)
     ids = asr.greedy_decode(params, jnp.asarray(mel), dim=args.dim,
                             depth=args.depth, max_tokens=max_tokens)
     decoded = [tok.decode(row).strip() for row in np.asarray(ids)]
@@ -140,7 +191,8 @@ def main():
 
     with open(args.out.replace(".npz", ".json"), "w") as f:
         json.dump({"dim": args.dim, "depth": args.depth,
-                   "chunk_frames": mel_frames, "max_tokens": max_tokens}, f)
+                   "chunk_frames": mel_frames, "max_tokens": max_tokens,
+                   "domain": args.domain}, f)
     print(f"[asr] saved {args.out}")
 
 
