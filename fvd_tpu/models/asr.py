@@ -239,6 +239,10 @@ class JaxASR:
             params=params, dim=dim, depth=depth,
             chunk_frames=int(meta.get("chunk_frames", MAX_AUDIO_FRAMES)),
             max_tokens=int(meta.get("max_tokens", MAX_TOKENS)),
+            # domain-matched inference dither: the tone checkpoint trains on
+            # a 0.01 noise floor (clean audio decodes empty without it); the
+            # formant domain trains clean (dither destroys its decodes)
+            dither=float(meta.get("dither", 0.01)),
         )
 
     def transcribe(self, audio_path: str, audio=None) -> Optional[Dict[str, Any]]:

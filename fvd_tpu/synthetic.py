@@ -67,6 +67,7 @@ def make_face_video(
     texture_noise: float = 0.0,
     pose_jitter: float = 0.0,
     mouth_gate_hz: float | None = None,
+    speech_renderer: str = "tone",
 ) -> str:
     """Procedural-face video for the real-model path: an elliptical face
     (the trained detector/landmark nets' domain, models/synthetic_faces.py)
@@ -133,7 +134,8 @@ def make_face_video(
     write_video(video_path, frames, fps)
 
     if speech_text is not None:
-        sig = gated_speech(speech_text, duration, gate_hz=gate_hz, sr=sr)
+        sig = gated_speech(speech_text, duration, gate_hz=gate_hz, sr=sr,
+                           renderer=speech_renderer)
     else:
         t = np.arange(int(sr * duration)) / sr
         gate = (np.sin(2 * np.pi * gate_hz * t) > 0).astype(np.float32)
@@ -176,6 +178,7 @@ def gated_speech(
     gate_hz: float = 1.0,
     sr: int = TONE_SR,
     rng: np.random.RandomState | None = None,
+    renderer: str = "tone",
 ) -> np.ndarray:
     """Tone-coded speech phrased into the gate's on-windows.
 
@@ -187,11 +190,17 @@ def gated_speech(
     remaining window wait for the next one; text beyond the clip is
     dropped.
     """
+    if renderer == "formant":
+        from fvd_tpu.models.synthetic_speech import PHONE_S, formant_speech
+
+        char_s, render = PHONE_S, formant_speech
+    else:
+        char_s, render = TONE_CHAR_S, tone_speech
     n_total = int(sr * duration)
     audio = np.zeros(n_total, np.float32)
     on_s = 0.5 / gate_hz  # gate = sin(2*pi*gate_hz*t) > 0: first half-period
     period = 1.0 / gate_hz
-    max_chars = min(int(on_s / TONE_CHAR_S), 10)  # trained utterance length
+    max_chars = min(int(on_s / char_s), 10)  # trained utterance length
     words = [w for w in text.split() if w]
     wi = 0
     k = 0
@@ -204,7 +213,7 @@ def gated_speech(
             phrase = cand
             wi += 1
         if phrase:  # a word longer than any window would loop forever: skip
-            a = tone_speech(phrase, rng)
+            a = render(phrase, rng)
             i0 = int(k * period * sr)
             i1 = min(i0 + len(a), n_total)
             audio[i0:i1] = a[: i1 - i0]

@@ -50,23 +50,63 @@ def random_pronounceable(rng: np.random.RandomState, min_len=3, max_len=10) -> s
     return "".join(out[:n]).strip() or "ba"
 
 
+_COMMON_WORDS = (
+    "the a of to and in that it is was for on said will year city state "
+    "next cut tax taxes mayor court team game final point museum bridge "
+    "open month school board vote river level rose feet after storm new "
+    "two six nine thousand jobs july added ruled ban effect won art wing "
+    "port dock repair fair crowd summer library late friday airline route "
+    "coast record modern traffic last this has had they but not can"
+).split()
+
+
+def random_common_words(rng: np.random.RandomState, min_len=3, max_len=10) -> str:
+    """Phrases of common English words (clipped to the utterance budget) —
+    the vocabulary register of narrated news video."""
+    out = ""
+    while True:
+        w = _COMMON_WORDS[rng.randint(len(_COMMON_WORDS))]
+        cand = w if not out else f"{out} {w}"
+        if len(cand) > max_len:
+            break
+        out = cand
+    return out or "the"
+
+
 class Domain:
     """Audio-rendering domain: tone-coded alphabet (round-1 checkpoint) or
     formant-synthesized speech (models/synthetic_speech.py)."""
 
-    def __init__(self, name: str):
+    def __init__(self, name: str, noise: float = 0.0):
         self.name = name
+        self.noise = noise
         if name == "tone":
             self.char_s = TONE_CHAR_S
             self.render = tone_speech
             self.utterance = random_letters
+            self.dither = 0.01
         else:
             from fvd_tpu.models.synthetic_speech import PHONE_S, formant_speech
 
             self.char_s = PHONE_S
-            self.render = lambda text, rng=None: formant_speech(
-                text, rng or np.random.RandomState(0))
-            self.utterance = random_pronounceable
+
+            def render(text, rng=None):
+                rng = rng or np.random.RandomState(0)
+                a = formant_speech(text, rng)
+                if noise > 0:
+                    a = a + noise * rng.randn(len(a)).astype(np.float32)
+                return a
+
+            self.render = render
+
+            def utterance(rng, min_len=3, max_len=10):
+                # 60% pronounceable syllables, 40% common-word phrases
+                if rng.rand() < 0.6:
+                    return random_pronounceable(rng, min_len, max_len)
+                return random_common_words(rng, min_len, max_len)
+
+            self.utterance = utterance
+            self.dither = noise
 
 
 CHAR_S = TONE_CHAR_S  # default (tone); overridden per-domain in asr_batch
@@ -126,11 +166,21 @@ def main():
     ap.add_argument("--depth", type=int, default=2)
     ap.add_argument("--out", default=None)
     ap.add_argument("--domain", choices=["tone", "formant"], default="tone")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (harness pins jax_platforms; "
+                         "config.update after import is the working override)")
+    ap.add_argument("--noise", type=float, default=0.002,
+                    help="formant-domain training noise floor (also the "
+                         "checkpoint's inference dither)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
     if args.out is None:
         args.out = ("checkpoints/asr.npz" if args.domain == "tone"
                     else "checkpoints/asr_formant.npz")
-    domain = Domain(args.domain)
+    domain = Domain(args.domain, noise=args.noise)
 
     import jax
     import jax.numpy as jnp
@@ -192,7 +242,7 @@ def main():
     with open(args.out.replace(".npz", ".json"), "w") as f:
         json.dump({"dim": args.dim, "depth": args.depth,
                    "chunk_frames": mel_frames, "max_tokens": max_tokens,
-                   "domain": args.domain}, f)
+                   "domain": args.domain, "dither": domain.dither}, f)
     print(f"[asr] saved {args.out}")
 
 
