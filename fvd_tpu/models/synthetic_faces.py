@@ -167,9 +167,16 @@ def render_face(
         gain = rng.uniform(0.7, 1.3)
         bias = rng.uniform(-25, 25)
         img = np.clip(img.astype(np.float32) * gain + bias, 0, 255).astype(np.uint8)
-        x1, y1 = pts[:, 0].min(), pts[:, 1].min()
-        x2, y2 = pts[:, 0].max(), pts[:, 1].max()
-        box = np.array([x1 / size, y1 / size, x2 / size, y2 / size], np.float32)
+        # gt box: exact bbox of the ROTATED face ellipse — the same "whole
+        # face" box convention as the unaugmented branch (a landmarks bbox
+        # would clip the forehead and teach the detector two conflicting
+        # targets)
+        th = np.deg2rad(angle)
+        a, b = fw / 2.0, fh / 2.0
+        hw = float(np.sqrt((a * np.cos(th)) ** 2 + (b * np.sin(th)) ** 2))
+        hh = float(np.sqrt((a * np.sin(th)) ** 2 + (b * np.cos(th)) ** 2))
+        box = np.array([(cx - hw) / size, (cy - hh) / size,
+                        (cx + hw) / size, (cy + hh) / size], np.float32)
         return img, np.clip(box, 0.0, 1.0), pts
 
     x1, y1 = cx - fw / 2, cy - fh / 2

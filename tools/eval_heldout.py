@@ -81,10 +81,15 @@ def render_face_heldout(
     img = cv2.warpAffine(img, M, (size, size), flags=cv2.INTER_LINEAR)
     pts = (pts @ M[:, :2].T) + M[:, 2]
 
-    x1, y1 = pts[:, 0].min(), pts[:, 1].min()
-    x2, y2 = pts[:, 0].max(), pts[:, 1].max()
-    box = np.array([x1 / size, y1 / size, x2 / size, y2 / size], np.float32)
-    return img, box, pts.astype(np.float32)
+    # gt = exact bbox of the rotated face ellipse (the training-box
+    # convention; a landmarks bbox clips the forehead)
+    th = np.deg2rad(angle)
+    a, b = fw / 2.0, fh / 2.0
+    hw = float(np.sqrt((a * np.cos(th)) ** 2 + (b * np.sin(th)) ** 2))
+    hh = float(np.sqrt((a * np.sin(th)) ** 2 + (b * np.cos(th)) ** 2))
+    box = np.array([(cx - hw) / size, (cy - hh) / size,
+                    (cx + hw) / size, (cy + hh) / size], np.float32)
+    return img, np.clip(box, 0.0, 1.0), pts.astype(np.float32)
 
 
 def _iou(a: np.ndarray, b: np.ndarray) -> float:
