@@ -102,7 +102,25 @@ def run(
         crops.append(crop if crop is not None and crop.size else None)
     present = [c for c in crops if c is not None]
     try:
-        elas = iter(forensics.ela_batch(present, cfg.jpeg_quality))
+        # cross-video coalescing: overlapped videos' top-K crop sets merge
+        # into one shape-bucketed ELA dispatch (providers/coalesce.py)
+        from fvd_tpu.providers.coalesce import run_program
+
+        step = 64
+        hb = max(step, -(-max((c.shape[0] for c in present), default=8) // step) * step)
+        wb = max(step, -(-max((c.shape[1] for c in present), default=8) // step) * step)
+
+        def _run_batch(crop_lists):
+            flat = [c for lst in crop_lists for c in lst]
+            res = forensics.ela_batch(flat, cfg.jpeg_quality)
+            out, o = [], 0
+            for lst in crop_lists:
+                out.append(res[o: o + len(lst)])
+                o += len(lst)
+            return out
+
+        elas = iter(run_program("v5_ela", (hb, wb, cfg.jpeg_quality),
+                                present, _run_batch))
         ela_by_idx = [None if c is None else next(elas) for c in crops]
     except Exception as e:
         print(f"V5: ELA batch failed, falling back per-crop: {e}")
