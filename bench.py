@@ -44,6 +44,14 @@ def main() -> None:
     fixtures = "--fixtures" in sys.argv
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    if len(jax.devices()) > 1:
+        # multi-chip: shard every coalesced model forward's batch dim over
+        # the data axis (parallel/inference.py); no-op on one chip
+        from fvd_tpu.parallel.inference import set_inference_mesh
+        from fvd_tpu.parallel.mesh import make_mesh
+
+        set_inference_mesh(make_mesh(n_data=len(jax.devices()), n_time=1))
+        log(f"inference mesh: {len(jax.devices())}-way DP")
 
     repo_root = os.path.dirname(os.path.abspath(__file__))
     workdir = tempfile.mkdtemp(prefix="fvd_bench_")

@@ -232,6 +232,17 @@ def main(argv=None) -> int:
     bootstrap_production()
     config = default_config()
 
+    import jax
+
+    if len(jax.devices()) > 1:
+        # multi-chip batch evaluation: DP-shard the coalesced model
+        # forwards over all visible chips (parallel/inference.py)
+        from fvd_tpu.parallel.inference import set_inference_mesh
+        from fvd_tpu.parallel.mesh import make_mesh
+
+        set_inference_mesh(make_mesh(n_data=len(jax.devices()), n_time=1))
+        print(f"inference mesh: {len(jax.devices())}-way DP")
+
     if args.clear_cache:
         for f in glob.glob(os.path.join(config.fusion.features_dir, "*.json")):
             os.remove(f)
