@@ -192,11 +192,18 @@ class JaxOCR:
         out: List[List[Dict[str, Any]]] = [[] for _ in images]
         if not lines:
             return out
+        # power-of-two batch bucket: region counts vary per frame set, and
+        # an exact-shape jit would recompile the recognizer for every
+        # distinct count (the dominant V2 cost on busy/noisy frames)
+        n_lines = len(lines)
+        bucket = 1 << max(3, (n_lines - 1).bit_length())
+        batch = np.zeros((bucket, LINE_H, LINE_W), np.uint8)
+        batch[:n_lines] = np.stack(lines)  # uint8: /255 happens on device
         logits = np.asarray(
             recognize_forward(self.rec_params,
-                              jnp.asarray(np.stack(lines))[..., None],
+                              jnp.asarray(batch)[..., None],
                               width=self.rec_width)
-        )
+        )[:n_lines]
         texts = ctc_greedy_decode(logits)
         # host-side softmax confidence (no extra device dispatch)
         lse = np.log(np.sum(np.exp(logits - logits.max(-1, keepdims=True)), -1)) \
