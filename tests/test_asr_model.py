@@ -126,3 +126,28 @@ def test_formant_speech_synthesis_structure():
     b = formant_speech("the mayor said", np.random.RandomState(0))
     c = formant_speech("the mayor said", np.random.RandomState(0))
     assert np.array_equal(b, c)
+
+
+@pytest.mark.skipif(not os.path.exists(CKPT), reason="no trained ASR checkpoint")
+def test_transcribe_coalesced_matches_sequential():
+    """Two videos' ASR decodes coalesced into one device program must
+    produce the sequential results (providers/coalesce.py run_program)."""
+    from fvd_tpu.models.asr import JaxASR
+    from fvd_tpu.providers import coalesce
+    from fvd_tpu.synthetic import gated_speech
+
+    asr = JaxASR.from_checkpoint(CKPT)
+    clips = [gated_speech("the mayor said the city", 6.0),
+             gated_speech("the river level rose", 6.0)]
+    seq = [asr.transcribe("", audio=a)["text"] for a in clips]
+
+    deactivate = coalesce._activate_program_coalescer(max_wait_ms=50.0)
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            par = [f.result()["text"] for f in
+                   [pool.submit(asr.transcribe, "", audio=a) for a in clips]]
+    finally:
+        deactivate()
+    assert par == seq
