@@ -88,14 +88,19 @@ def main() -> None:
             "the team won the final game by six points",
             "the museum opened a wing for modern art",
         ]
-        log(f"generating {n_videos} face videos ({duration}s @ {fps}fps, 320x240)...")
+        ckpt_dir = os.path.join(repo_root, "checkpoints")
+        from fvd_tpu.providers.factory import asr_speech_domain
+
+        renderer = asr_speech_domain(ckpt_dir)
+        log(f"generating {n_videos} face videos ({duration}s @ {fps}fps, 320x240, "
+            f"{renderer} speech)...")
         videos = [
             make_face_video("media", name=f"clip{i}", duration=duration, fps=fps,
                             width=320, height=240, seed=i,
-                            speech_text=sentences[i % len(sentences)])
+                            speech_text=sentences[i % len(sentences)],
+                            speech_renderer=renderer)
             for i in range(n_videos)
         ]
-        ckpt_dir = os.path.join(repo_root, "checkpoints")
         required = ("face_ssd.npz", "landmarks.npz", "pose.npz", "asr.npz")
         missing = [f for f in required if not os.path.exists(os.path.join(ckpt_dir, f))]
         if missing:

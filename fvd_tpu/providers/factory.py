@@ -62,6 +62,24 @@ def default_checkpoint_dir() -> str:
     return os.path.join(repo_root, "checkpoints")
 
 
+def asr_speech_domain(checkpoint_dir: str) -> str:
+    """The speech domain ("formant" | "tone") of the ASR checkpoint
+    production_providers will load — synthetic-media generators use this to
+    render audio the shipped ASR can actually transcribe."""
+    import json
+
+    for name in ("asr_formant", "asr"):
+        npz = os.path.join(checkpoint_dir, name + ".npz")
+        meta = os.path.join(checkpoint_dir, name + ".json")
+        if os.path.exists(npz):
+            try:
+                with open(meta) as f:
+                    return json.load(f).get("domain", "tone")
+            except Exception:
+                return "tone"
+    return "tone"
+
+
 def bootstrap_production(use_llm: bool = True, use_search: bool = True) -> Providers:
     """Install the production bundle as the process default unless a caller
     already installed one via set_providers() (entry points call this; tests
@@ -177,11 +195,16 @@ def production_providers(
             accepted = set(inspect.signature(encoders.JaxClip.__init__).parameters)
             kwargs = {k: v for k, v in meta.items() if k in accepted}
         clip = encoders.JaxClip(checkpoint=clip_ckpt, **kwargs)
-    asr_ckpt = os.path.join(checkpoint_dir, "asr.npz")
-    if asr is None and os.path.exists(asr_ckpt):
-        from fvd_tpu.models.asr import JaxASR
+    # formant-domain checkpoint preferred: speech-structured audio (the
+    # closest no-external-weights analog of Whisper's domain) over the
+    # tone-coded alphabet; both decode through the same VAD-windowed stack
+    for asr_name in ("asr_formant.npz", "asr.npz"):
+        asr_ckpt = os.path.join(checkpoint_dir, asr_name)
+        if asr is None and os.path.exists(asr_ckpt):
+            from fvd_tpu.models.asr import JaxASR
 
-        asr = JaxASR.from_checkpoint(asr_ckpt)
+            asr = JaxASR.from_checkpoint(asr_ckpt)
+            break
 
     if recorded_services:
         from fvd_tpu.providers.recorded import RecordedSearch

@@ -56,7 +56,12 @@ FAKE_RECIPES = [
 
 
 def build_corpus(out_dir: str, n_real: int, n_fake: int, duration: float,
-                 fps: float = 30.0, width: int = 320, height: int = 240):
+                 fps: float = 30.0, width: int = 320, height: int = 240,
+                 renderer: str | None = None):
+    if renderer is None:
+        from fvd_tpu.providers.factory import asr_speech_domain, default_checkpoint_dir
+
+        renderer = asr_speech_domain(default_checkpoint_dir())
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for i in range(n_real):
@@ -64,6 +69,7 @@ def build_corpus(out_dir: str, n_real: int, n_fake: int, duration: float,
             out_dir, name=f"clip{i:02d}_real_news", duration=duration, fps=fps,
             width=width, height=height, seed=100 + i,
             speech_text=SENTENCES[i % len(SENTENCES)],
+            speech_renderer=renderer,
         ))
     for j in range(n_fake):
         recipe = FAKE_RECIPES[j % len(FAKE_RECIPES)]
@@ -71,6 +77,7 @@ def build_corpus(out_dir: str, n_real: int, n_fake: int, duration: float,
             out_dir, name=f"clip{n_real + j:02d}_deepfake", duration=duration,
             fps=fps, width=width, height=height, seed=200 + j,
             speech_text=SENTENCES[(n_real + j) % len(SENTENCES)],
+            speech_renderer=renderer,
             **recipe,
         ))
     return paths
