@@ -212,12 +212,19 @@ def gated_speech(
                 break
             phrase = cand
             wi += 1
-        if phrase:  # a word longer than any window would loop forever: skip
+        if phrase:
             a = render(phrase, rng)
             i0 = int(k * period * sr)
             i1 = min(i0 + len(a), n_total)
             audio[i0:i1] = a[: i1 - i0]
         else:
+            # a word longer than any window: render it anyway, spilling past
+            # the gate-on phase (slightly degraded sync beats silently
+            # dropping content words from the transcript)
+            a = render(words[wi][: max_chars + 4], rng)
+            i0 = int(k * period * sr)
+            i1 = min(i0 + len(a), n_total)
+            audio[i0:i1] = a[: i1 - i0]
             wi += 1
         k += 1
     return audio
