@@ -105,6 +105,27 @@ def detect_forward(params, images, width=16):
     return jax.nn.sigmoid(TextRegionNet(width=width).apply(params, images))
 
 
+@partial(jax.jit, static_argnames=("width", "thr_logit"))
+def detect_packed_mask(params, frames_u8, width=16, thr_logit=0.0):
+    """Device-resident detection: native uint8 frames -> packed binary mask.
+
+    Consumes the HBM frame tensor V1 already uploaded (no second host->HBM
+    transfer), resizes to the detector grid ON DEVICE, thresholds in logit
+    space (``sigmoid(z) > t  <=>  z > logit(t)`` — numerically identical to
+    the host path's ``sigmoid > threshold``), and packbits so the host
+    fetches 8 KB/frame instead of a 256 KB float32 probability map.  Behind
+    a degraded host link this is the difference between V2 being the
+    pipeline's dominant span and it being noise.
+    """
+    x = frames_u8.astype(jnp.float32) / 255.0
+    x = jax.image.resize(
+        x, (x.shape[0], DET_SIZE, DET_SIZE, 3), "linear", antialias=False
+    )
+    logits = TextRegionNet(width=width).apply(params, x)
+    mask = (logits > thr_logit).astype(jnp.uint8)
+    return jnp.packbits(mask.reshape(mask.shape[0], -1), axis=1)
+
+
 @partial(jax.jit, static_argnames=("width",))
 def recognize_forward(params, lines, width=32):
     if lines.dtype == jnp.uint8:
@@ -173,13 +194,38 @@ class JaxOCR:
             detect_forward(self.det_params, shard_for_inference(det_in),
                            width=self.det_width)
         )
+        masks = (probs_maps > self.region_threshold).astype(np.uint8)
+        return self._recognize_regions(images, masks)
+
+    def read_text_batch_device(self, dev_frames, images) -> List[List[Dict[str, Any]]]:
+        """Detection from HBM-resident native frames (see
+        :func:`detect_packed_mask`): no frame re-upload, an 8 KB/frame packed
+        mask fetched instead of a 256 KB float32 map.  ``images`` supplies
+        the host pixels for line crops (the host frame cache already holds
+        them — no decode)."""
+        if len(images) == 0:
+            return []
+        thr = float(self.region_threshold)
+        thr_logit = float(np.log(thr / (1.0 - thr)))
+        packed = np.asarray(
+            detect_packed_mask(self.det_params, dev_frames,
+                               width=self.det_width, thr_logit=thr_logit)
+        )
+        masks = np.unpackbits(packed, axis=1)[:, : DET_SIZE * DET_SIZE]
+        masks = masks.reshape(-1, DET_SIZE, DET_SIZE)[: len(images)]
+        return self._recognize_regions(images, masks)
+
+    def _recognize_regions(self, images, masks) -> List[List[Dict[str, Any]]]:
+        """Shared tail: connected components -> line crops -> one bucketed
+        recognizer forward -> greedy CTC decode."""
+        import cv2
 
         lines: List[np.ndarray] = []
         line_meta: List[tuple] = []  # (frame index, pixel box)
-        for fi, (image, prob) in enumerate(zip(images, probs_maps)):
+        for fi, (image, mask) in enumerate(zip(images, masks)):
             h, w = image.shape[:2]
             sx, sy = w / DET_SIZE, h / DET_SIZE
-            for (x, y, bw, bh) in region_boxes(prob, self.region_threshold):
+            for (x, y, bw, bh) in region_boxes(mask):
                 px, py = int(x * sx), int(y * sy)
                 pw, ph = max(1, int(bw * sx)), max(1, int(bh * sy))
                 crop = image[py : py + ph, px : px + pw]

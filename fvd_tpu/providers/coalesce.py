@@ -352,7 +352,17 @@ class CoalescingOCR:
             return []
         return self._co.submit(("ocr",), len(images), list(images)).result()
 
-    def _run_group(self, key: tuple, payloads: List[List[np.ndarray]]) -> List[Any]:
+    def read_text_batch_device(self, dev_frames, images) -> List[list]:
+        if len(images) == 0:
+            return []
+        if getattr(self.inner, "read_text_batch_device", None) is None:
+            return self.read_text_batch(images)
+        key = ("ocrdev", _shape_hw(dev_frames))
+        return self._co.submit(key, len(images), (dev_frames, list(images))).result()
+
+    def _run_group(self, key: tuple, payloads: List[Any]) -> List[Any]:
+        if key[0] == "ocrdev":
+            return self._run_device(payloads)
         lengths = [len(p) for p in payloads]
         merged: List[np.ndarray] = [im for p in payloads for im in p]
         total = len(merged)
@@ -361,6 +371,25 @@ class CoalescingOCR:
         # shape; their (empty) results are dropped on split
         merged.extend(np.zeros((8, 8, 3), np.uint8) for _ in range(pad_to - total))
         res = self.inner.read_text_batch(merged)
+        out, o = [], 0
+        for n in lengths:
+            out.append(res[o : o + n])
+            o += n
+        return out
+
+    def _run_device(self, payloads: List[tuple]) -> List[Any]:
+        """HBM-resident variant: device batches concatenate on device (zero
+        host traffic); the padded tail's masks decode to nothing and are
+        dropped on split."""
+        lengths = [len(ims) for _, ims in payloads]
+        total = sum(lengths)
+        pad_to = self.bucket_images if total <= self.bucket_images else total
+        dev = _concat_pad_device([d for d, _ in payloads], pad_to)
+        images: List[np.ndarray] = [im for _, ims in payloads for im in ims]
+        images.extend(
+            np.zeros(images[0].shape, np.uint8) for _ in range(pad_to - total)
+        )
+        res = self.inner.read_text_batch_device(dev, images)
         out, o = [], 0
         for n in lengths:
             out.append(res[o : o + n])

@@ -341,6 +341,33 @@ def cached_keyframe_images(paths: Sequence[str]) -> List[Optional[np.ndarray]]:
     return out
 
 
+def keyframe_device_frames(paths: Sequence[str]):
+    """HBM-resident native frames for V1 keyframe artifacts, or None.
+
+    Parses ``<dir>/keyframes/frame_<id>.jpg`` like
+    :func:`cached_keyframe_images` and serves the frames via an on-device
+    gather from the union grid V1 uploaded (see ``_DeviceFrameCache``).
+    Returns None unless every path maps into one cached video — callers
+    fall back to the host batch path.
+    """
+    if not paths:
+        return None
+    ids: List[int] = []
+    video: Optional[str] = None
+    for p in paths:
+        base = os.path.basename(p)
+        digits = [t for t in base.replace(".", "_").split("_") if t.isdigit()]
+        if not digits:
+            return None
+        v = os.path.join(os.path.dirname(os.path.dirname(p)), "video.mp4")
+        if video is None:
+            video = v
+        elif v != video:
+            return None
+        ids.append(int(digits[0]))
+    return _device_frames.get(video, ids)
+
+
 def clear_frame_cache() -> None:
     _frame_cache.clear()
     _landmark_share.clear()
