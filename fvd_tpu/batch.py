@@ -234,15 +234,26 @@ def main(argv=None) -> int:
 
     import jax
 
+    restore_mesh = None
     if len(jax.devices()) > 1:
         # multi-chip batch evaluation: DP-shard the coalesced model
-        # forwards over all visible chips (parallel/inference.py)
+        # forwards over all visible chips (parallel/inference.py); restored
+        # on exit so embedders (tests, tools) don't inherit the mesh
         from fvd_tpu.parallel.inference import set_inference_mesh
         from fvd_tpu.parallel.mesh import make_mesh
 
-        set_inference_mesh(make_mesh(n_data=len(jax.devices()), n_time=1))
+        prev = set_inference_mesh(make_mesh(n_data=len(jax.devices()), n_time=1))
+        restore_mesh = lambda: set_inference_mesh(prev)  # noqa: E731
         print(f"inference mesh: {len(jax.devices())}-way DP")
 
+    try:
+        return _main_body(args, config)
+    finally:
+        if restore_mesh is not None:
+            restore_mesh()
+
+
+def _main_body(args, config) -> int:
     if args.clear_cache:
         for f in glob.glob(os.path.join(config.fusion.features_dir, "*.json")):
             os.remove(f)

@@ -30,7 +30,8 @@ from fvd_tpu.state import State, StateDelta
 
 def _process_chunk(frames, kept_ids, detections_per_frame, meta, cfg,
                    frame_area, keyframes_dir, faces_dir,
-                   keyframes_paths, face_detections, writer) -> None:
+                   keyframes_paths, face_detections, writer,
+                   ck=None) -> None:
     """Per-frame filtering/cropping/artifacts (v1:110-180 semantics).
 
     JPEG encodes go through the background ArtifactWriter so they overlap
@@ -42,7 +43,10 @@ def _process_chunk(frames, kept_ids, detections_per_frame, meta, cfg,
     for frame, fid, dets in zip(frames, kept_ids, detections_per_frame):
         timestamp = fid / meta.fps
         keyframe_path = os.path.join(keyframes_dir, f"frame_{fid:06d}.jpg")
-        writer.save_jpeg(keyframe_path, frame)
+        # content-addressed encode identity: a re-run over identical video
+        # bytes writes the cached JPEG instead of re-encoding
+        writer.save_jpeg(keyframe_path, frame,
+                         key=(ck, "kf", fid) if ck else None)
         keyframes_paths.append(keyframe_path)
 
         # Filter + clip (v1:118-141).
@@ -76,7 +80,9 @@ def _process_chunk(frames, kept_ids, detections_per_frame, meta, cfg,
             cy2 = min(meta.height, y + h + pad_h)
             crop = frame[cy1:cy2, cx1:cx2]
             face_path = os.path.join(faces_dir, f"face_{fid:06d}_{i}.jpg")
-            writer.save_jpeg(face_path, crop)
+            writer.save_jpeg(
+                face_path, crop,
+                key=(ck, "crop", fid, i, cx1, cy1, cx2, cy2) if ck else None)
             detections_in_frame.append(
                 {
                     "bbox": {"x": x, "y": y, "w": w, "h": h},
@@ -163,8 +169,10 @@ def run(
             if len(union_kept) > 0:
                 device_frames_for(video_path, union_kept, union_frames)
 
+    from fvd_tpu.providers.media import content_key
     from fvd_tpu.runtime.io_pool import ArtifactWriter
 
+    ck = content_key(video_path)
     writer = ArtifactWriter()
     try:
         for frames, kept_ids in StreamingSampler(video_path, frame_ids,
@@ -177,7 +185,7 @@ def run(
                 detections_per_frame = [[] for _ in kept_ids]
             _process_chunk(frames, kept_ids, detections_per_frame, meta, cfg,
                            frame_area, keyframes_dir, faces_dir,
-                           keyframes_paths, face_detections, writer)
+                           keyframes_paths, face_detections, writer, ck=ck)
     except BaseException:
         # join queued encodes so they can't fail silently in the shared
         # pool after the node unwinds; the original error stays primary

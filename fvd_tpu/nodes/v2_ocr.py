@@ -46,6 +46,8 @@ def run(
     # forward, then to per-frame reads.
     batch_fn = getattr(providers.ocr, "read_text_batch", None)
     dev_fn = getattr(providers.ocr, "read_text_batch_device", None)
+    if os.environ.get("FVD_TPU_NO_DEVICE_OCR"):  # A/B lever (see CLAUDE.md)
+        dev_fn = None
     dev = keyframe_device_frames([kf for kf, _ in loaded]) \
         if (dev_fn is not None and loaded) else None
     if dev is not None:

@@ -32,6 +32,7 @@ from fvd_tpu.providers.media import (
     IncrementalVideoWriter,
     StreamingSampler,
     VideoReader,
+    content_key,
     device_frames_for,
     shared_landmarks,
 )
@@ -83,7 +84,10 @@ def run(
 
     viz_fps = max(1.0, fps / stride) if fps else 1.0
     viz_path = os.path.join(output_dir, "landmarks_viz.mp4")
-    viz = IncrementalVideoWriter(viz_path, viz_fps)
+    # content-scoped: a re-run over identical video bytes + identical drawn
+    # landmarks serves the encoded viz from the artifact cache
+    viz = IncrementalVideoWriter(viz_path, viz_fps,
+                                 cache_scope=(content_key(video_path), "V3"))
 
     mouth_landmarks_data: List[Dict[str, Any]] = []
     carry = one_euro_init_carry((68, 2))
@@ -159,7 +163,12 @@ def run(
                         pass
                 return batch
 
-            viz.append(draw_chunk)
+            viz.append(
+                draw_chunk,
+                fingerprint=np.asarray(kept_ids, np.int64).tobytes()
+                + np.asarray(valid, np.uint8).tobytes()
+                + np.ascontiguousarray(smoothed).tobytes(),
+            )
             processed += T
         # Success: the encode finishes on the sink thread, overlapped with
         # downstream nodes; the scheduler flushes it at end of run.

@@ -28,6 +28,7 @@ from fvd_tpu.providers.media import (
     IncrementalVideoWriter,
     StreamingSampler,
     VideoReader,
+    content_key,
     device_frames_for,
     shared_landmarks,
 )
@@ -87,7 +88,9 @@ def run(
 
     viz_fps = max(1.0, fps / stride) if fps else 1.0
     viz_path = os.path.join(output_dir, "headpose_viz.mp4")
-    viz = IncrementalVideoWriter(viz_path, viz_fps)
+    # content-scoped encode cache: see the matching note in v3_landmarks.py
+    viz = IncrementalVideoWriter(viz_path, viz_fps,
+                                 cache_scope=(content_key(video_path), "V4"))
 
     n_pts, dim = 68, 3
     lm_carry = one_euro_init_carry((n_pts, dim))
@@ -203,7 +206,16 @@ def run(
                         pass
                 return batch
 
-            viz.append(draw_chunk)
+            boxes_fp = np.asarray(
+                [b if b else (-1, -1, -1, -1) for b in crop_boxes], np.int64
+            )
+            viz.append(
+                draw_chunk,
+                fingerprint=np.asarray(kept_ids, np.int64).tobytes()
+                + np.asarray(valid, np.uint8).tobytes()
+                + boxes_fp.tobytes()
+                + np.ascontiguousarray(smoothed_ears).tobytes(),
+            )
             processed += T
         # Success: deferred close — encode overlaps downstream nodes; the
         # scheduler flushes before the final state is returned.

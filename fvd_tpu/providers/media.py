@@ -578,8 +578,13 @@ class IncrementalVideoWriter:
     device dispatch; ``close()`` flushes and surfaces any encode failure.
     """
 
-    def __init__(self, path: str, fps: float):
-        from fvd_tpu.runtime.io_pool import AsyncFrameSink
+    def __init__(self, path: str, fps: float, cache_scope=None):
+        """``cache_scope``: stable content identity (e.g. ``(content_key,
+        node)``).  When set and the artifact cache is enabled, encoding is
+        lazy: appends queue with caller-supplied fingerprints, and close
+        either writes the cached encoded bytes (identical content re-run)
+        or encodes once and stores them."""
+        from fvd_tpu.runtime import io_pool
 
         self.path = path
         self.fps = fps
@@ -587,7 +592,17 @@ class IncrementalVideoWriter:
         #: True once any frames were handed to the sink — the file will
         #: exist (barring encode failure) even if close is deferred
         self.appended = False
-        self._sink = AsyncFrameSink(self._write_batch, self._release)
+        self._sink = None
+        self._pending: list = []
+        self._fp = None
+        if cache_scope is not None and io_pool.artifact_cache_enabled():
+            import hashlib
+
+            self._cache_scope = cache_scope
+            self._fp = hashlib.blake2b(digest_size=16)
+        else:
+            self._cache_scope = None
+            self._sink = io_pool.AsyncFrameSink(self._write_batch, self._release)
 
     def _write_batch(self, frames_rgb: np.ndarray) -> None:
         import cv2
@@ -605,20 +620,78 @@ class IncrementalVideoWriter:
             self._writer.release()
             self._writer = None
 
-    def append(self, frames_rgb) -> None:
+    def append(self, frames_rgb, fingerprint: bytes | None = None) -> None:
         """RGB uint8 [T,H,W,3] batch, or a zero-arg callable returning one
-        (drawing then happens on the encoder thread)."""
+        (drawing then happens on the encoder thread).
+
+        ``fingerprint``: bytes pinning the drawn content of this batch (the
+        landmark/pose arrays the caller will draw) — required for the
+        cached mode to identify a repeated-content encode without running
+        the draw.  A callable without a fingerprint degrades the writer to
+        the streaming (uncached) mode.
+        """
         if not callable(frames_rgb) and len(frames_rgb) == 0:
             return
         self.appended = True
+        if self._cache_scope is not None:
+            if fingerprint is None and callable(frames_rgb):
+                self._degrade_to_streaming()
+            else:
+                if fingerprint is None:
+                    fingerprint = np.ascontiguousarray(frames_rgb).tobytes()
+                self._fp.update(fingerprint)
+                self._pending.append(frames_rgb)
+                return
         self._sink.append(frames_rgb)
 
+    def _degrade_to_streaming(self) -> None:
+        from fvd_tpu.runtime.io_pool import AsyncFrameSink
+
+        self._cache_scope = None
+        self._sink = AsyncFrameSink(self._write_batch, self._release)
+        for b in self._pending:
+            self._sink.append(b)
+        self._pending.clear()
+
+    def _finish_cached(self) -> None:
+        import os
+
+        from fvd_tpu.runtime import io_pool
+
+        key = (self._cache_scope, round(self.fps, 3), self._fp.hexdigest())
+        data = io_pool.viz_cache_get(key)
+        if data is not None:
+            with open(self.path, "wb") as f:
+                f.write(data)
+            self._pending.clear()
+            return
+        try:
+            for b in self._pending:
+                if callable(b):
+                    b = b()
+                if len(b):
+                    self._write_batch(np.asarray(b))
+        finally:
+            self._pending.clear()
+            self._release()
+        if os.path.exists(self.path):
+            with open(self.path, "rb") as f:
+                io_pool.viz_cache_put(key, f.read())
+
     def close(self) -> None:
+        if self._cache_scope is not None:
+            self._finish_cached()
+            return
         self._sink.close()
 
     def close_async(self):
         """Deferred close: flush + encoder release happen on the sink
-        thread; returns a Future for ``runtime.io_pool.defer_artifact``."""
+        thread (or, in cached mode, the artifact pool); returns a Future
+        for ``runtime.io_pool.defer_artifact``."""
+        if self._cache_scope is not None:
+            from fvd_tpu.runtime.io_pool import _get_pool
+
+            return _get_pool().submit(self._finish_cached)
         return self._sink.close_async()
 
 

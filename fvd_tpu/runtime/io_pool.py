@@ -39,10 +39,86 @@ def _get_pool() -> ThreadPoolExecutor:
         return _pool
 
 
-def _encode_jpeg(path: str, rgb: np.ndarray) -> None:
+class _EncodeCache:
+    """Content-addressed encoded-artifact bytes (JPEG frames, viz videos).
+
+    Re-analysis of identical content re-runs every model forward (the
+    per-run sharing rule) but need not re-run identical ENCODES: the cache
+    key pins the exact encode inputs (video content key + frame id + crop
+    box / data fingerprint), so a later run just writes the stored bytes
+    into its own artifact dir.  On the 1-core host this removes thousands
+    of cv2 encodes per repeated-content run.  Disable with
+    ``FVD_TPU_NO_ARTIFACT_CACHE=1``.
+    """
+
+    def __init__(self, max_bytes: int) -> None:
+        self._data: "dict[object, bytes]" = {}
+        self._order: List[object] = []
+        self._bytes = 0
+        self.max_bytes = max_bytes
+        self._lock = threading.Lock()
+
+    def get(self, key) -> Optional[bytes]:
+        with self._lock:
+            return self._data.get(key)
+
+    def put(self, key, data: bytes) -> None:
+        with self._lock:
+            if key in self._data:
+                return
+            self._data[key] = data
+            self._order.append(key)
+            self._bytes += len(data)
+            while self._bytes > self.max_bytes and len(self._order) > 1:
+                old = self._order.pop(0)
+                self._bytes -= len(self._data.pop(old))
+
+    def clear(self) -> None:
+        with self._lock:
+            self._data.clear()
+            self._order.clear()
+            self._bytes = 0
+
+
+_jpeg_cache = _EncodeCache(64 << 20)
+_viz_cache = _EncodeCache(128 << 20)
+
+
+def artifact_cache_enabled() -> bool:
+    import os
+
+    return not os.environ.get("FVD_TPU_NO_ARTIFACT_CACHE")
+
+
+def clear_artifact_caches() -> None:
+    _jpeg_cache.clear()
+    _viz_cache.clear()
+
+
+def _encode_jpeg(path: str, rgb: np.ndarray, key=None) -> None:
     import cv2
 
+    if key is not None and artifact_cache_enabled():
+        data = _jpeg_cache.get(key)
+        if data is None:
+            ok, buf = cv2.imencode(".jpg", cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+            if not ok:
+                raise RuntimeError(f"JPEG encode failed for {path}")
+            data = buf.tobytes()
+            _jpeg_cache.put(key, data)
+        with open(path, "wb") as f:
+            f.write(data)
+        return
     cv2.imwrite(path, cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+
+
+def viz_cache_get(key) -> Optional[bytes]:
+    return _viz_cache.get(key) if artifact_cache_enabled() else None
+
+
+def viz_cache_put(key, data: bytes) -> None:
+    if artifact_cache_enabled():
+        _viz_cache.put(key, data)
 
 
 class ArtifactWriter:
@@ -57,8 +133,10 @@ class ArtifactWriter:
     def __init__(self) -> None:
         self._futures: List[Future] = []
 
-    def save_jpeg(self, path: str, rgb: np.ndarray) -> None:
-        self._futures.append(_get_pool().submit(_encode_jpeg, path, rgb))
+    def save_jpeg(self, path: str, rgb: np.ndarray, key=None) -> None:
+        """``key``: optional content-addressed identity of the encoded bytes
+        (see _EncodeCache) — repeated-content runs skip the cv2 encode."""
+        self._futures.append(_get_pool().submit(_encode_jpeg, path, rgb, key))
 
     def submit(self, fn: Callable, *args) -> None:
         self._futures.append(_get_pool().submit(fn, *args))
