@@ -121,11 +121,26 @@ def render_face(
     """
     import cv2
 
-    if augment and rng.rand() < 0.5:
+    bg = rng.rand() if augment else 1.0
+    if bg < 0.3:
         # smooth gradient / solid background
         base = rng.rand(3) * 200
         ramp = np.linspace(0, rng.uniform(0, 90), size)
         img = np.clip(base[None, None] + ramp[:, None, None], 0, 255).astype(np.uint8)
+        img = np.ascontiguousarray(img)
+    elif bg < 0.6:
+        # structured background: sinusoidal stripes at a random orientation,
+        # frequency and contrast over a gradient (real captures have walls,
+        # blinds, shelves — periodic structure the detector must not fire on;
+        # the dominant held-out factor per tools/diagnose_det_heldout.py)
+        base = rng.rand(3) * 180
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+        th = rng.uniform(0, np.pi)
+        phase = xx * np.cos(th) + yy * np.sin(th)
+        stripes = rng.uniform(10, 45) * np.sin(phase / rng.uniform(4, 24))
+        grad = (yy / size) * rng.uniform(0, 90)
+        img = np.clip(base[None, None] + (stripes + grad)[..., None],
+                      0, 255).astype(np.uint8)
         img = np.ascontiguousarray(img)
     else:
         img = (rng.rand(size, size, 3) * 60 + rng.rand(3) * 120).astype(np.uint8)
@@ -148,6 +163,24 @@ def render_face(
     pts = draw_face(img, cx, cy, fw, fh, skin, aperture)
 
     if augment:
+        # face-anchored accessory-like strokes (rings near the eyes, bars
+        # across them, arcs over the crown): the face box must survive
+        # contours that hug the face itself, not just random occluders —
+        # the second-ranked held-out factor (tools/diagnose_det_heldout.py)
+        stroke = tuple(int(c) for c in (skin * rng.uniform(0.15, 0.6)))
+        if rng.rand() < 0.4:  # eye rings + bridge bar
+            for exc in (-0.2, 0.2):
+                c = (int(cx + exc * fw), int(cy - 0.12 * fh))
+                cv2.circle(img, c, max(2, int(fw * rng.uniform(0.08, 0.16))),
+                           stroke, rng.randint(1, 4))
+            cv2.line(img, (int(cx - 0.2 * fw), int(cy - 0.12 * fh)),
+                     (int(cx + 0.2 * fw), int(cy - 0.12 * fh)), stroke,
+                     rng.randint(1, 4))
+        if rng.rand() < 0.4:  # crown arc (hair-like)
+            cv2.ellipse(img, (int(cx), int(cy - rng.uniform(0.0, 0.2) * fh)),
+                        (int(fw * rng.uniform(0.4, 0.62)),
+                         int(fh * rng.uniform(0.35, 0.55))),
+                        0, 180, 360, stroke, -1)
         # occluders: random shapes that may cross the face
         for _ in range(rng.randint(0, 3)):
             color = tuple(int(c) for c in rng.randint(0, 255, 3))
