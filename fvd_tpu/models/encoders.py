@@ -150,9 +150,16 @@ class JaxTextEncoder:
 
     def encode_batch(self, texts: List[str]) -> np.ndarray:
         ids = np.stack([self.tok.encode(t, MAX_TEXT_LEN) for t in texts])
+        # pad the batch dim to a power-of-two bucket: E1's result count
+        # varies per claim and each distinct size would otherwise recompile
+        n = len(texts)
+        bucket = 1 << max(0, (n - 1)).bit_length()
+        if bucket != n:
+            ids = np.concatenate(
+                [ids, np.zeros((bucket - n, MAX_TEXT_LEN), np.int32)])
         out = _text_forward(self.params, jnp.asarray(ids),
                             dim=self.dim, depth=self.depth, out_dim=self.out_dim)
-        return np.asarray(out)
+        return np.asarray(out[:n])
 
 
 @partial(jax.jit, static_argnames=("dim", "depth", "out_dim"))

@@ -175,7 +175,19 @@ def production_providers(
     # emit noise.
     if text_encoder is None:
         if os.path.exists(text_ckpt):
-            text_encoder = encoders.JaxTextEncoder(checkpoint=text_ckpt)
+            import json
+
+            meta = {}
+            sidecar = text_ckpt.replace(".npz", ".json")
+            if os.path.exists(sidecar):
+                with open(sidecar) as fh:
+                    meta = json.load(fh)
+            text_encoder = encoders.JaxTextEncoder(
+                checkpoint=text_ckpt,
+                dim=int(meta.get("dim", 192)),
+                depth=int(meta.get("depth", 6)),
+                out_dim=int(meta.get("out_dim", 256)),
+            )
         else:
             from fvd_tpu.providers.encoders import HashingTextEncoder
 
