@@ -85,3 +85,59 @@ def test_factory_without_clip_checkpoint_disables_c2(tmp_path):
     assert delta == {}
     # evidence ranking uses the lexical hashing encoder, not random weights
     assert isinstance(prov.text_encoder, HashingTextEncoder)
+
+
+def test_factory_loads_text_encoder_sidecar_dims(tmp_path):
+    """text_encoder.npz + json sidecar -> JaxTextEncoder at the trained
+    dims (not the class defaults)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from fvd_tpu.models import encoders
+
+    ckdir = tmp_path / "ck"
+    ckdir.mkdir()
+    model = encoders.TextTower(dim=32, depth=1, out_dim=16)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, encoders.MAX_TEXT_LEN), jnp.int32))
+    encoders.save_params(str(ckdir / "text_encoder.npz"), params)
+    (ckdir / "text_encoder.json").write_text(
+        json.dumps({"dim": 32, "depth": 1, "out_dim": 16}))
+    prov = production_providers(checkpoint_dir=str(ckdir),
+                                use_llm=False, use_search=False)
+    assert isinstance(prov.text_encoder, encoders.JaxTextEncoder)
+    assert prov.text_encoder.encode("a claim").shape == (16,)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(CHECKPOINT_DIR, "text_encoder.npz")),
+    reason="trained text encoder not present",
+)
+def test_trained_text_encoder_ranks_paraphrase_first():
+    """The shipped encoder must put coverage of the SAME fact above
+    same-shaped coverage of a different fact (E1's ranking contract,
+    reference e1_web_evidence.py:330-354)."""
+    from fvd_tpu.nodes.e1_evidence import rank_results
+    from fvd_tpu.providers import Providers
+    from fvd_tpu.providers.factory import production_providers
+
+    prov = production_providers(checkpoint_dir=CHECKPOINT_DIR,
+                                use_llm=False, use_search=False)
+    cases = [
+        ("the mayor of riverton said the city will cut property taxes by ten percent",
+         "Fact check: riverton mayor announces 10% property tax reduction",
+         "Fact check: lakeside governor announces 10% transit fare increase"),
+        ("the bear river rose five feet overnight",
+         "Reality Check: water levels on the bear river climbed by 5 feet",
+         "Reality Check: harbor steel plans to cut 5 jobs in summit"),
+    ]
+    for claim, same_fact, other_fact in cases:
+        results = [
+            {"title": other_fact, "snippet": "", "url": "https://a.com/1"},
+            {"title": same_fact, "snippet": "", "url": "https://b.com/2"},
+        ]
+        ranked = rank_results(results, claim, prov)
+        assert ranked[0]["url"] == "https://b.com/2", (
+            claim, [r.get("relevance_score") for r in ranked])

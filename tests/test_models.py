@@ -203,6 +203,18 @@ def test_text_encoder_similarity_structure():
     np.testing.assert_allclose(vecs[0], vecs[1], atol=1e-5)  # deterministic
 
 
+def test_text_encoder_batch_bucketing_matches_singles():
+    """encode_batch pads the batch dim to a power-of-two bucket (E1's
+    variable result counts must not recompile); padding rows must not
+    change the real rows."""
+    enc = encoders.JaxTextEncoder(dim=32, depth=1, out_dim=32)
+    texts = ["alpha beam", "casts a shadow", "over the third", "claim", "today"]
+    batched = enc.encode_batch(texts)
+    assert batched.shape == (5, 32)
+    singles = np.stack([enc.encode(t) for t in texts])
+    np.testing.assert_allclose(batched, singles, atol=1e-5)
+
+
 def test_clip_provider_api():
     clip = encoders.JaxClip(dim=32, depth=1, out_dim=32)
     img = np.random.RandomState(0).randint(0, 255, (64, 64, 3)).astype(np.uint8)

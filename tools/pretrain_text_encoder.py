@@ -251,8 +251,8 @@ def main():
     accs = []
     for _ in range(4):
         q_ids, d_ids = make_batch(eval_rng, 64, tok, MAX_TEXT_LEN)
-        q = np.asarray(model.apply(params, jnp.asarray(q_ids)))
-        d = np.asarray(model.apply(params, jnp.asarray(d_ids)))
+        q = np.array(model.apply(params, jnp.asarray(q_ids)))
+        d = np.array(model.apply(params, jnp.asarray(d_ids)))
         q /= np.linalg.norm(q, axis=-1, keepdims=True)
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         accs.append(((q @ d.T).argmax(axis=1) == np.arange(len(q))).mean())
