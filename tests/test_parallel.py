@@ -166,3 +166,49 @@ def test_shard_for_inference_noop_without_mesh():
     assert get_inference_mesh() is None
     x = jnp.ones((8, 4))
     assert shard_for_inference(x) is x
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism (optional path; SURVEY §2.3 "optional pjit sharding")
+# ---------------------------------------------------------------------------
+def test_tensor_parallel_text_tower_matches_replicated():
+    """Megatron-style TP param shardings: same outputs as the replicated
+    forward up to reduction order, with heads/MLP genuinely sharded."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from fvd_tpu.models.encoders import TextTower
+    from fvd_tpu.models.transformer import ByteTokenizer
+    from fvd_tpu.parallel.tensor import (
+        shard_params_tp,
+        tp_shardings,
+        validate_tp_divisibility,
+    )
+
+    model = TextTower(dim=64, depth=2, out_dim=32)  # heads=2, mlp=256
+    tok = ByteTokenizer()
+    ids = np.stack([tok.encode(t, 32) for t in
+                    ["the river rose", "taxes will fall", "a face appears",
+                     "nothing happened today"]])
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32), jnp.int32))
+    ref = np.asarray(jax.jit(model.apply)(params, ids))
+
+    validate_tp_divisibility(heads=2, mlp_hidden=256, tp=2)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("model",))
+    shardings = tp_shardings(params, mesh)
+    specs = [s.spec for s in jax.tree_util.tree_leaves(shardings)]
+    n_sharded = sum(1 for s in specs if any(a is not None for a in s))
+    # q/k/v/out kernels + q/k/v biases + 2 MLP kernels + 1 MLP bias per block
+    assert n_sharded == 2 * 10, n_sharded
+
+    p_tp = shard_params_tp(params, mesh)
+    out_sharding = NamedSharding(mesh, P())
+    tp_out = np.asarray(
+        jax.jit(model.apply, out_shardings=out_sharding)(p_tp, ids))
+    np.testing.assert_allclose(tp_out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_tensor_parallel_divisibility_guard():
+    from fvd_tpu.parallel.tensor import validate_tp_divisibility
+
+    with pytest.raises(ValueError):
+        validate_tp_divisibility(heads=6, mlp_hidden=768, tp=4)
