@@ -146,24 +146,39 @@ def main() -> None:
 
     best = None
     best_spans = None
-    for attempt in range(6):
+    best_counts = {}
+    best_cpu = {}
+    no_improve = 0
+    for attempt in range(8):
         log(f"measuring pass {attempt + 1} (8-way cross-video overlap)...")
         tracer = set_tracer(Tracer(use_jax_annotations=False))
+        cpu0 = os.times()
         t0 = time.perf_counter()
         probs = run_pipeline_many(videos, config, providers, concurrency=8)
         elapsed = time.perf_counter() - t0
+        cpu1 = os.times()
+        host_cpu = (cpu1.user - cpu0.user) + (cpu1.system - cpu0.system)
         set_tracer(None)
         log(f"  pass {attempt + 1}: {n_videos} videos in {elapsed:.2f}s "
-            f"-> {elapsed / n_videos:.2f}s/video")
-        prev_best = best
+            f"-> {elapsed / n_videos:.2f}s/video "
+            f"(host CPU {host_cpu:.1f}s = {100 * host_cpu / elapsed:.0f}% of wall)")
         if best is None or elapsed < best:
             best, best_spans = elapsed, tracer.summary()
-        if attempt >= 2 and prev_best is not None and elapsed >= prev_best:
-            break  # stopped improving (a recovering tunnel keeps improving)
+            best_counts = tracer.counts()
+            best_cpu = tracer.summary_cpu()
+            no_improve = 0
+        else:
+            no_improve += 1
+        # a recovering tunnel window often regresses for one pass mid-climb;
+        # stop only after two consecutive passes without a new best
+        if attempt >= 2 and no_improve >= 2:
+            break
     # where the best pass spent its (overlapped) time — the degraded-window
     # diagnosis the next optimization round needs
-    for name, secs in sorted((best_spans or {}).items(), key=lambda kv: -kv[1])[:12]:
-        log(f"  span {name:20s} {secs:7.2f}s (sum over 8 overlapped videos)")
+    for name, secs in sorted((best_spans or {}).items(), key=lambda kv: -kv[1])[:20]:
+        log(f"  span {name:20s} {secs:7.2f}s x{best_counts.get(name, 0):<4d} "
+            f"hostCPU {best_cpu.get(name, 0.0):5.2f}s "
+            "(sum over 8 overlapped videos)")
     if not fixtures:
         _close_coalesce()  # join the coalescer threads before reporting
     per_video = best / n_videos

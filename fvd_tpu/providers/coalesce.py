@@ -11,10 +11,11 @@ This layer coalesces concurrent requests into single device programs, the
 same dynamic-batching idea as ``fvd_tpu.serving.MicroBatcher`` but for
 variable-length frame batches: requests that arrive within the batching
 window are grouped by frame geometry, concatenated (on device when the
-inputs are HBM-resident), padded to a FIXED frame bucket so every group
-reuses one compiled program, run as one forward, and the results split back
-per request.  8 overlapped videos' landmark stages become one ~8x larger
-MXU batch with one result fetch.
+inputs are HBM-resident), padded to a power-of-two bucket ladder (see
+:func:`_pad_target`) so groups reuse a small fixed set of compiled
+programs, run as one forward, and the results split back per request.
+8 overlapped videos' landmark stages become one ~8x larger MXU batch with
+one result fetch.
 
 Wrap only providers that do real device forwards
 (``accepts_device_frames``); deterministic host fixtures gain nothing.
@@ -149,7 +150,13 @@ class _Coalescer:
 
     def _run_chunk(self, key: tuple, chunk: List[_Req]) -> None:
         try:
-            results = self.run_group(key, [r.payload for r in chunk])
+            from fvd_tpu.runtime.tracer import get_tracer
+
+            # span name = the op family (key[0]); the rest of the key is
+            # geometry.  Shows where merged device-program time actually
+            # goes, separate from the node spans' contention-inflated waits.
+            with get_tracer().span(f"coalesce/{key[0]}", n=len(chunk)):
+                results = self.run_group(key, [r.payload for r in chunk])
             if len(results) != len(chunk):  # a silent mismatch would leave
                 # the unmatched futures blocking their caller threads forever
                 raise RuntimeError(
@@ -168,6 +175,23 @@ class _Coalescer:
 
 def _shape_hw(frames) -> Tuple[int, int]:
     return (int(frames.shape[1]), int(frames.shape[2]))
+
+
+def _pad_target(total: int, bucket: int, floor: int = 32) -> int:
+    """Fixed-shape pad size for a group of ``total`` items.
+
+    Power-of-two ladder clamped to ``[floor, bucket]``: staggered pipelines
+    rarely fill the full bucket within the 6 ms batching window, and padding
+    a 30-frame group to a 256-frame program wastes ~8x the forward FLOPs
+    AND ~8x the result fetch — the dominant per-pass device cost in a
+    degraded tunnel window (bench span ``coalesce/ocrdev``).  The ladder
+    keeps the compiled-shape count bounded at ``log2(bucket/floor)+1`` per
+    op family; oversized groups run exact-shape (``run_group`` contract).
+    """
+    if total > bucket:
+        return total
+    floor = min(floor, bucket)
+    return max(floor, min(bucket, 1 << max(0, (total - 1).bit_length())))
 
 
 def _concat_pad_device(devs: Sequence[Any], pad_to: int):
@@ -212,14 +236,14 @@ class CoalescingDetector:
         if n == 0:
             return []
         is_dev = not isinstance(frames, np.ndarray)
-        key = (_shape_hw(frames), is_dev)
+        key = ("det", _shape_hw(frames), is_dev)
         return self._co.submit(key, n, frames).result()
 
     def _run_group(self, key: tuple, payloads: List[Any]) -> List[List[list]]:
-        (h, w), is_dev = key
+        _, (h, w), is_dev = key
         lengths = [int(len(p)) for p in payloads]
         total = sum(lengths)
-        pad_to = self.bucket_frames if total <= self.bucket_frames else total
+        pad_to = _pad_target(total, self.bucket_frames)
         if is_dev:
             cat = _concat_pad_device(payloads, pad_to)
         else:
@@ -290,7 +314,7 @@ class CoalescingLandmarks:
         _, (h, w), has_dev = key
         lengths = [int(len(f)) for f, _ in payloads]
         total = sum(lengths)
-        pad_to = self.bucket_frames if total <= self.bucket_frames else total
+        pad_to = _pad_target(total, self.bucket_frames)
         if has_dev and self.accepts_device_frames:
             dev = _concat_pad_device([d for _, d in payloads], pad_to)
             # the inner provider reads host frames only for per-frame (h, w)
@@ -311,7 +335,7 @@ class CoalescingLandmarks:
     def _run_pose(self, key: tuple, payloads: List[Any]) -> List[np.ndarray]:
         frame_counts = [int(d.shape[0]) for d, _, _ in payloads]
         total = sum(frame_counts)
-        pad_to = self.bucket_frames if total <= self.bucket_frames else total
+        pad_to = _pad_target(total, self.bucket_frames)
         dev = _concat_pad_device([d for d, _, _ in payloads], pad_to)
         boxes_all: List[Any] = []
         owners_all: List[int] = []
@@ -366,7 +390,7 @@ class CoalescingOCR:
         lengths = [len(p) for p in payloads]
         merged: List[np.ndarray] = [im for p in payloads for im in p]
         total = len(merged)
-        pad_to = self.bucket_images if total <= self.bucket_images else total
+        pad_to = _pad_target(total, self.bucket_images)
         # pad with tiny blank frames so the detector batch hits one compiled
         # shape; their (empty) results are dropped on split
         merged.extend(np.zeros((8, 8, 3), np.uint8) for _ in range(pad_to - total))
@@ -383,7 +407,7 @@ class CoalescingOCR:
         dropped on split."""
         lengths = [len(ims) for _, ims in payloads]
         total = sum(lengths)
-        pad_to = self.bucket_images if total <= self.bucket_images else total
+        pad_to = _pad_target(total, self.bucket_images)
         dev = _concat_pad_device([d for d, _ in payloads], pad_to)
         images: List[np.ndarray] = [im for _, ims in payloads for im in ims]
         images.extend(
@@ -426,7 +450,7 @@ class CoalescingClip:
         images: List[np.ndarray] = [im for ims, _ in payloads for im in ims]
         texts: List[str] = [t for _, ts in payloads for t in ts]
         total = len(images)
-        pad_to = self.bucket_pairs if total <= self.bucket_pairs else total
+        pad_to = _pad_target(total, self.bucket_pairs)
         images.extend(np.zeros((8, 8, 3), np.uint8) for _ in range(pad_to - total))
         texts.extend("" for _ in range(pad_to - total))
         sims = np.asarray(self.inner.image_text_similarity_batch(images, texts))

@@ -21,6 +21,7 @@ class Span:
     name: str
     start_s: float
     end_s: float = 0.0
+    cpu_s: float = 0.0  # thread CPU time inside the span (excludes blocking)
     meta: Dict[str, object] = field(default_factory=dict)
 
     @property
@@ -37,6 +38,7 @@ class Tracer:
     @contextlib.contextmanager
     def span(self, name: str, **meta):
         sp = Span(name=name, start_s=time.perf_counter(), meta=dict(meta))
+        cpu0 = time.thread_time()
         ctx = contextlib.nullcontext()
         if self._use_jax:
             try:
@@ -50,6 +52,7 @@ class Tracer:
                 yield sp
         finally:
             sp.end_s = time.perf_counter()
+            sp.cpu_s = time.thread_time() - cpu0
             with self._lock:
                 self.spans.append(sp)
 
@@ -59,6 +62,27 @@ class Tracer:
         with self._lock:
             for sp in self.spans:
                 out[sp.name] = out.get(sp.name, 0.0) + sp.elapsed_s
+        return out
+
+    def counts(self) -> Dict[str, int]:
+        """Number of spans per name (e.g. merged device programs run)."""
+        out: Dict[str, int] = {}
+        with self._lock:
+            for sp in self.spans:
+                out[sp.name] = out.get(sp.name, 0) + 1
+        return out
+
+    def summary_cpu(self) -> Dict[str, float]:
+        """Total thread-CPU seconds per span name.
+
+        On a TPU run this is the HOST cost of each span — blocking on device
+        programs / locks / futures is excluded — which is the number that
+        matters on the 1-core host (wall spans are contention-inflated under
+        8-way overlap)."""
+        out: Dict[str, float] = {}
+        with self._lock:
+            for sp in self.spans:
+                out[sp.name] = out.get(sp.name, 0.0) + sp.cpu_s
         return out
 
     def dump_json(self, path: str) -> None:

@@ -96,8 +96,9 @@ def test_landmarks_coalesce_host_path():
             lambda: co.landmarks_batch(b),
         ])
         assert not errs
-        # one merged inner call, padded to the fixed bucket
-        assert inner.calls == [64]
+        # one merged inner call, padded to the next power-of-two rung
+        # (22 frames -> 32), not the full 64 bucket
+        assert inner.calls == [32]
         assert len(ra) == 10 and len(rb) == 12
         assert all(lm[0][0, 0] == 7.0 for lm in ra)
         assert all(lm[0][0, 0] == 9.0 for lm in rb)
@@ -197,7 +198,8 @@ def test_incompatible_shapes_group_separately():
             lambda: co.landmarks_batch(b),
         ])
         assert not errs
-        assert sorted(inner.calls) == [64, 64]  # two groups (different H, W)
+        # two groups (different H, W), each padded to the ladder floor
+        assert sorted(inner.calls) == [32, 32]
         assert all(lm[0][0, 0] == 1.0 for lm in ra)
         assert all(lm[0][0, 0] == 2.0 for lm in rb)
     finally:
@@ -367,3 +369,17 @@ def test_pipeline_results_identical_with_program_coalescing(tmp_cwd):
     # compilations (batched matmul/reduce orders); equality holds to
     # float32 working precision, not bit-exactly
     assert seq == pytest.approx(par, abs=2e-3)
+
+
+def test_pad_target_ladder():
+    from fvd_tpu.providers.coalesce import _pad_target
+
+    # power-of-two rungs clamped to [floor, bucket]
+    assert _pad_target(1, 256) == 32        # floor
+    assert _pad_target(30, 256) == 32
+    assert _pad_target(33, 256) == 64
+    assert _pad_target(150, 256) == 256
+    assert _pad_target(256, 256) == 256
+    assert _pad_target(300, 256) == 300     # oversized: exact shape
+    assert _pad_target(5, 16) == 16         # floor clamps to small buckets
+    assert _pad_target(22, 64) == 32
