@@ -108,7 +108,7 @@ def draw_face(
 
 def render_face(
     rng: np.random.RandomState, size: int = 300, aperture: float | None = None,
-    augment: bool = False,
+    augment: bool = False, hard: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (image uint8 [size, size, 3], gt box [4] normalized corners,
     landmarks [68, 2] in pixels).
@@ -118,10 +118,19 @@ def render_face(
     ranges.  Broadens the training distribution toward real-capture
     variation (the held-out gap lever, docs/ROUND1_STATUS.md); the
     held-out eval renderer (tools/eval_heldout.py) stays unseen.
+
+    ``hard``: dense co-occurrence of the augmentation factors (structured
+    background AND accessories AND occluders AND rotation in one sample).
+    Individually each factor holds up on held-out eval; their combination
+    is where the detector drops (tools/diagnose_det_heldout.py: single
+    factors >=0.76 IoU, all-at-once 0.55), because independent small
+    probabilities make the full combination vanishingly rare in training.
     """
     import cv2
 
-    bg = rng.rand() if augment else 1.0
+    if hard:
+        augment = True
+    bg = (rng.uniform(0.3, 0.6) if hard else rng.rand()) if augment else 1.0
     if bg < 0.3:
         # smooth gradient / solid background
         base = rng.rand(3) * 200
@@ -168,7 +177,8 @@ def render_face(
         # contours that hug the face itself, not just random occluders —
         # the second-ranked held-out factor (tools/diagnose_det_heldout.py)
         stroke = tuple(int(c) for c in (skin * rng.uniform(0.15, 0.6)))
-        if rng.rand() < 0.4:  # eye rings + bridge bar
+        p_acc = 0.9 if hard else 0.4
+        if rng.rand() < p_acc:  # eye rings + bridge bar
             for exc in (-0.2, 0.2):
                 c = (int(cx + exc * fw), int(cy - 0.12 * fh))
                 cv2.circle(img, c, max(2, int(fw * rng.uniform(0.08, 0.16))),
@@ -176,13 +186,13 @@ def render_face(
             cv2.line(img, (int(cx - 0.2 * fw), int(cy - 0.12 * fh)),
                      (int(cx + 0.2 * fw), int(cy - 0.12 * fh)), stroke,
                      rng.randint(1, 4))
-        if rng.rand() < 0.4:  # crown arc (hair-like)
+        if rng.rand() < p_acc:  # crown arc (hair-like)
             cv2.ellipse(img, (int(cx), int(cy - rng.uniform(0.0, 0.2) * fh)),
                         (int(fw * rng.uniform(0.4, 0.62)),
                          int(fh * rng.uniform(0.35, 0.55))),
                         0, 180, 360, stroke, -1)
         # occluders: random shapes that may cross the face
-        for _ in range(rng.randint(0, 3)):
+        for _ in range(rng.randint(1, 4) if hard else rng.randint(0, 3)):
             color = tuple(int(c) for c in rng.randint(0, 255, 3))
             p = (rng.randint(0, size), rng.randint(0, size))
             if rng.rand() < 0.5:
@@ -192,7 +202,7 @@ def render_face(
                 cv2.ellipse(img, p, (rng.randint(4, size // 6), rng.randint(3, size // 8)),
                             rng.uniform(0, 180), 0, 360, color, -1)
         # in-plane rotation (gt landmarks + box follow)
-        angle = rng.uniform(-15, 15)
+        angle = rng.uniform(-20, 20) if hard else rng.uniform(-15, 15)
         M = cv2.getRotationMatrix2D((cx, cy), angle, 1.0)
         img = cv2.warpAffine(img, M, (size, size), flags=cv2.INTER_LINEAR)
         pts = (pts @ M[:, :2].T + M[:, 2]).astype(np.float32)
@@ -221,7 +231,8 @@ def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300,
                    augment: bool = False):
     """Training batch for the SSD: (frames float mean-sub, labels, loc
     targets) using fvd_tpu.ops.detection matching.  ``augment`` applies the
-    robustness augmentations to half of each batch."""
+    robustness augmentations to half of each batch (a quarter in the dense
+    co-occurrence ``hard`` mode)."""
     from fvd_tpu.models.face_ssd import MEAN_RGB, anchors
     from fvd_tpu.ops import detection
 
@@ -231,7 +242,8 @@ def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300,
     locs = np.zeros((batch, A.shape[0], 4), np.float32)
     boxes_out = []
     for i in range(batch):
-        img, box, _ = render_face(rng, size, augment=augment and i % 2 == 0)
+        img, box, _ = render_face(rng, size, augment=augment and i % 2 == 0,
+                                  hard=augment and i % 4 == 0)
         frames[i] = img.astype(np.float32) - np.asarray(MEAN_RGB)
         lab, matched = detection.match_anchors(box[None], A)
         enc = np.array(detection.encode_boxes(matched, A))
@@ -255,7 +267,8 @@ def landmark_batch(rng: np.random.RandomState, batch: int, crop: int = 128,
         # varied mouth aperture: the regressor must read the opening from
         # pixels (C1's MAR signal), not memorize the template
         img, box, pts = render_face(rng, 256, aperture=rng.uniform(0.0, 1.0),
-                                    augment=augment and i % 2 == 0)
+                                    augment=augment and i % 2 == 0,
+                                    hard=augment and i % 4 == 0)
         size = 256
         x1, y1, x2, y2 = (box * size).astype(int)
         # jittered crop

@@ -59,7 +59,8 @@ def pose_batch(
     Rs = np.zeros((batch, 3, 3), np.float64)
     eulers = np.zeros((batch, 3), np.float64)
     for i in range(batch):
-        img, box, _ = render_face(rng, 192, augment=augment and i % 2 == 0)
+        img, box, _ = render_face(rng, 192, augment=augment and i % 2 == 0,
+                                  hard=augment and i % 4 == 0)
         x1, y1, x2, y2 = (box * 192).astype(int)
         face = img[max(0, y1) : y2, max(0, x1) : x2]
         if face.size == 0:

@@ -183,7 +183,9 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--augment", action="store_true",
-                    help="robustness augmentations on half of each batch")
+                    help="robustness augmentations on half of each batch "
+                         "(a quarter gets the dense factor-combination "
+                         "'hard' mode — see synthetic_faces.render_face)")
     args = ap.parse_args()
 
     import jax
