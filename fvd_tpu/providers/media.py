@@ -100,6 +100,15 @@ class _FrameCache:
 
         self._frames: "dict[str, dict[int, np.ndarray]]" = {}
         self._meta: "dict[str, VideoMeta]" = {}
+        # {content_key -> {ids_tuple: stacked [T,H,W,3]}}: memo of the
+        # STACKED batch per sample grid. Re-sampling an identical grid of a
+        # resident video (every warm pass; V3+V4 share a grid) returns the
+        # memoized block instead of re-running a ~100 MB np.stack — on the
+        # 1-core host that stack was the dominant warm-pass "decode" cost.
+        # Consumers never mutate sampled batches in place (viz draws copy;
+        # crops are read-only views), same contract the per-frame store
+        # already relies on.
+        self._stacks: "dict[str, dict[tuple, np.ndarray]]" = {}
         self._order: List[str] = []
         self._locks: "dict[str, threading.Lock]" = {}
         self._global = threading.Lock()
@@ -130,6 +139,19 @@ class _FrameCache:
         missing = [i for i in ids if i not in found]
         return found, missing
 
+    def get_stack(self, path: str, ids: Sequence[int]) -> Optional[np.ndarray]:
+        key = content_key(path)
+        with self._global:
+            return self._stacks.get(key, {}).get(tuple(ids))
+
+    def put_stack(self, path: str, ids: Sequence[int], arr: np.ndarray) -> None:
+        key = content_key(path)
+        with self._global:
+            per = self._stacks.setdefault(key, {})
+            per[tuple(ids)] = arr
+            while len(per) > 4:  # a video sees ~3 grids (union/5fps/1fps)
+                per.pop(next(iter(per)))
+
     def insert(self, path: str, frames: np.ndarray, ids: Sequence[int]) -> None:
         key = content_key(path)
         with self._global:
@@ -146,11 +168,13 @@ class _FrameCache:
                     continue
                 total -= len(self._frames.pop(victim, {}))
                 self._meta.pop(victim, None)
+                self._stacks.pop(victim, None)
 
     def clear(self) -> None:
         with self._global:
             self._frames.clear()
             self._meta.clear()
+            self._stacks.clear()
             self._order.clear()
 
 
@@ -451,7 +475,18 @@ class VideoReader:
             kept = [i for i in wanted if i in found]
             if not kept:
                 return np.zeros((0, 0, 0, 3), np.uint8), []
-            return np.stack([found[i] for i in kept]), kept
+            if not missing:
+                # fully resident: an identical grid was likely stacked before
+                memo = self._cache.get_stack(path, kept)
+                if memo is not None:
+                    return memo, kept
+            stacked = np.stack([found[i] for i in kept])
+            if missing:
+                # re-point the store at the stack's rows so the transient
+                # decode buffer isn't held alive as a duplicate copy
+                self._cache.insert(path, stacked, kept)
+            self._cache.put_stack(path, kept, stacked)
+            return stacked, kept
 
     def _sample_uncached(self, path: str, frame_ids: Sequence[int]) -> Tuple[np.ndarray, List[int]]:
         if self._native is not None:
