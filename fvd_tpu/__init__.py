@@ -77,6 +77,27 @@ def _enable_persistent_compile_cache() -> None:
         pass  # cache is an optimization; never fail import over it
 
 
+def force_cpu() -> None:
+    """Pin this process to the CPU backend and drop the persistent compile
+    cache.
+
+    The harness pins ``jax_platforms=axon,cpu`` at import, so the env var
+    alone cannot force CPU (CLAUDE.md); probes/tools must call this (or
+    ``jax.config.update``) after ``import jax`` and BEFORE any jax op —
+    touching the axon backend while another process holds the chip
+    futex-waits.  Disabling the cache here also silences XLA:CPU AOT
+    reload warnings (machine-feature pseudo-mismatches); CPU compiles are
+    cheap, the persistent cache exists for tunnel TPU compiles.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_enable_compilation_cache", False)
+    except Exception:
+        pass
+
+
 _enable_persistent_compile_cache()
 
 from fvd_tpu.state import State, StateDelta, merge_states  # noqa: F401

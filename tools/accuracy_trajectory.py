@@ -45,9 +45,9 @@ def main(argv=None) -> int:
             "XLA_FLAGS",
             (os.environ.get("XLA_FLAGS", "") +
              " --xla_force_host_platform_device_count=1").strip())
-        import jax
+        import fvd_tpu
 
-        jax.config.update("jax_platforms", "cpu")
+        fvd_tpu.force_cpu()
 
     os.makedirs(args.workdir, exist_ok=True)
     os.chdir(args.workdir)

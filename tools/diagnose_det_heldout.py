@@ -89,7 +89,9 @@ def main(argv=None) -> int:
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")  # probe rule: never touch axon
+    import fvd_tpu
+
+    fvd_tpu.force_cpu()  # probe rule: never touch axon
     import jax.numpy as jnp
 
     from fvd_tpu.models import face_ssd

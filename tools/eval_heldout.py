@@ -250,9 +250,9 @@ def main(argv=None) -> int:
         CKPT = os.path.abspath(args.ckpt_dir)
 
     if args.cpu:
-        import jax
+        import fvd_tpu
 
-        jax.config.update("jax_platforms", "cpu")
+        fvd_tpu.force_cpu()
 
     evals = {"det": eval_detector, "lmk": eval_landmarks,
              "pose": eval_pose, "ocr": eval_ocr}

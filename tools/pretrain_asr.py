@@ -174,9 +174,9 @@ def main():
                          "checkpoint's inference dither)")
     args = ap.parse_args()
     if args.cpu:
-        import jax as _jax
+        import fvd_tpu
 
-        _jax.config.update("jax_platforms", "cpu")
+        fvd_tpu.force_cpu()
     if args.out is None:
         args.out = ("checkpoints/asr.npz" if args.domain == "tone"
                     else "checkpoints/asr_formant.npz")

@@ -199,7 +199,9 @@ def main():
     import jax
 
     if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+        import fvd_tpu
+
+        fvd_tpu.force_cpu()
     import jax.numpy as jnp
     import optax
 

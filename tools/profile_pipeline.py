@@ -34,7 +34,9 @@ def main() -> int:
     import jax
 
     if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+        import fvd_tpu
+
+        fvd_tpu.force_cpu()
 
     import dataclasses
 
