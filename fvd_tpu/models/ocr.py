@@ -223,6 +223,8 @@ class JaxOCR:
         lines: List[np.ndarray] = []
         line_meta: List[tuple] = []  # (frame index, pixel box)
         for fi, (image, mask) in enumerate(zip(images, masks)):
+            if not mask.any():  # no text: skip connected-components + crops
+                continue
             h, w = image.shape[:2]
             sx, sy = w / DET_SIZE, h / DET_SIZE
             for (x, y, bw, bh) in region_boxes(mask):

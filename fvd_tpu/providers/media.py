@@ -475,7 +475,7 @@ class VideoReader:
             kept = [i for i in wanted if i in found]
             if not kept:
                 return np.zeros((0, 0, 0, 3), np.uint8), []
-            if not missing:
+            if not missing and not os.environ.get("FVD_TPU_NO_STACK_MEMO"):
                 # fully resident: an identical grid was likely stacked before
                 memo = self._cache.get_stack(path, kept)
                 if memo is not None:
