@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import tempfile
 import time
@@ -31,7 +32,26 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+#: best-so-far result, emitted if the driver times the run out (tunnel
+#: windows have shown 40+ min warmups; a partial measurement beats none)
+_RESULT: dict = {}
+
+
+def _emit_on_signal(signum, frame):
+    # os._exit: in-flight scheduler/coalescer threads are non-daemon; a
+    # sys.exit would block interpreter shutdown on them after the kill
+    if _RESULT:
+        print(json.dumps(_RESULT), flush=True)
+        log(f"bench: signal {signum}; emitted best-so-far result")
+        os._exit(0)
+    log(f"bench: signal {signum} before any measured pass; no result")
+    os._exit(1)
+
+
 def main() -> None:
+    signal.signal(signal.SIGTERM, _emit_on_signal)
+    signal.signal(signal.SIGINT, _emit_on_signal)
+
     import jax
 
     from fvd_tpu.config import EvidenceConfig, default_config
@@ -132,8 +152,16 @@ def main() -> None:
     log("warmup run (compiling)...")
     t0 = time.perf_counter()
     final = Scheduler(dag).invoke(State(input_path=videos[0]))
-    log(f"warmup: {time.perf_counter() - t0:.2f}s  p={final.fake_probability:.4f} "
+    warmup_s = time.perf_counter() - t0
+    log(f"warmup: {warmup_s:.2f}s  p={final.fake_probability:.4f} "
         f"features={final.features}")
+    # floor result: if the driver times us out before any measured pass
+    # (tunnel windows have shown 40+ min compiles), the signal handler still
+    # emits the truthful single-stream warmup rate instead of nothing
+    _RESULT.update({
+        "metric": metric, "value": round(60.0 / warmup_s, 2),
+        "unit": "videos/min", "vs_baseline": round(60.0 / warmup_s / 50.0, 3),
+    })
 
     from fvd_tpu.batch import run_pipeline_many
 
@@ -167,6 +195,12 @@ def main() -> None:
             best_counts = tracer.counts()
             best_cpu = tracer.summary_cpu()
             no_improve = 0
+            _RESULT.update({
+                "metric": metric,
+                "value": round(60.0 / (best / n_videos), 2),
+                "unit": "videos/min",
+                "vs_baseline": round(60.0 / (best / n_videos) / 50.0, 3),
+            })
         else:
             no_improve += 1
         # a recovering tunnel window often regresses for one pass mid-climb;
@@ -186,6 +220,8 @@ def main() -> None:
 
     log(f"best: {per_video:.2f}s/video; probs={probs}")
 
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)  # past here the normal
+    signal.signal(signal.SIGINT, signal.SIG_DFL)   # print is the one line
     print(json.dumps({
         "metric": metric,
         "value": round(videos_per_min, 2),

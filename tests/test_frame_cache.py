@@ -43,6 +43,25 @@ def test_cache_serves_second_reader(video, monkeypatch):
     np.testing.assert_array_equal(f1, f2)
 
 
+def test_identical_grid_resample_skips_stack(video):
+    """A warm re-sample of an identical grid returns the memoized stacked
+    batch (the ~100 MB np.stack per node per pass was the dominant
+    warm-pass host cost on the 1-core host)."""
+    reader = media.VideoReader()
+    f1, k1 = reader.sample(video, [0, 6, 12])
+    f2, k2 = reader.sample(video, [0, 6, 12])
+    assert k1 == k2
+    assert f2 is f1  # same memoized block, no re-stack
+    # a different grid still assembles (and memoizes) its own stack
+    f3, k3 = reader.sample(video, [0, 12])
+    assert k3 == [0, 12]
+    assert f3 is not f1
+    np.testing.assert_array_equal(f3[0], f1[0])
+    # eviction of the video drops its stack memo with it
+    media._frame_cache.clear()
+    assert media._frame_cache._stacks == {}
+
+
 def test_cache_decodes_only_missing(video, monkeypatch):
     reader = media.VideoReader()
     decode_calls = []
