@@ -543,6 +543,11 @@ def coalesce_providers(providers, bucket_frames: int = 512,
     if os.environ.get("FVD_TPU_NO_COALESCE"):
         return providers, lambda: None
 
+    # A/B lever: the batching window trades per-request latency for fewer
+    # device dispatches.  Behind a high-RTT tunnel, merging more staggered
+    # arrivals per group can beat the 6 ms default's lower latency.
+    max_wait_ms = float(os.environ.get("FVD_TPU_COALESCE_WAIT_MS", max_wait_ms))
+
     wrapped: List[Any] = []
     changes: Dict[str, Any] = {}
     lm = getattr(providers, "landmarks", None)

@@ -224,6 +224,17 @@ def test_coalesce_providers_wraps_only_device_models():
         close()
 
 
+def test_coalesce_window_env_override(monkeypatch):
+    """FVD_TPU_COALESCE_WAIT_MS widens the batching window (tunnel-RTT
+    tuning lever: fewer, larger device dispatches)."""
+    monkeypatch.setenv("FVD_TPU_COALESCE_WAIT_MS", "25")
+    wrapped, close = coalesce_providers(Providers(landmarks=FakeDeviceLandmarks()))
+    try:
+        assert abs(wrapped.landmarks._co.max_wait_s - 0.025) < 1e-9
+    finally:
+        close()
+
+
 class FakeOCR:
     model_name = "fake_ocr"
     coalescable = True

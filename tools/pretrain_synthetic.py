@@ -186,8 +186,16 @@ def main():
                     help="robustness augmentations on half of each batch "
                          "(a quarter gets the dense factor-combination "
                          "'hard' mode — see synthetic_faces.render_face)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="train on the CPU backend (leaves the tunneled "
+                         "TPU chip to concurrent work; ~0.6 s/step for the "
+                         "hourglass at width 32)")
     args = ap.parse_args()
 
+    if args.cpu:
+        import fvd_tpu
+
+        fvd_tpu.force_cpu()
     import jax
 
     print(f"backend: {jax.default_backend()}")
