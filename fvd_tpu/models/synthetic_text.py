@@ -25,7 +25,48 @@ def random_text(rng: np.random.RandomState, min_len=3, max_len=12) -> str:
     return "".join(ALPHABET[rng.randint(len(ALPHABET))] for _ in range(n)).strip() or "A"
 
 
-def render_line(rng: np.random.RandomState, text: str) -> np.ndarray:
+def _train_font(rng: np.random.RandomState) -> int:
+    """A cv2 font face for AUGMENTED training renders.
+
+    Deliberately excludes the held-out faces (DUPLEX/COMPLEX/TRIPLEX and
+    SIMPLEX|ITALIC — tools/eval_heldout.py): generalization to those is the
+    thing being measured.  Multiple seen faces + the shape augmentations in
+    :func:`_augment_line` teach glyph-shape invariance instead of one
+    face's strokes."""
+    import cv2
+
+    faces = [cv2.FONT_HERSHEY_SIMPLEX, cv2.FONT_HERSHEY_PLAIN,
+             cv2.FONT_HERSHEY_COMPLEX_SMALL, cv2.FONT_HERSHEY_SCRIPT_SIMPLEX,
+             cv2.FONT_HERSHEY_PLAIN | cv2.FONT_ITALIC,
+             cv2.FONT_HERSHEY_COMPLEX_SMALL | cv2.FONT_ITALIC]
+    return int(faces[rng.randint(len(faces))])
+
+
+def _augment_line(rng: np.random.RandomState, line: np.ndarray) -> np.ndarray:
+    """Font-agnostic shape/photometric jitter on a [H, W] float 0..1 line:
+    shear (slant), stroke-width morphology, blur, contrast/gamma, noise."""
+    import cv2
+
+    h, w = line.shape[:2]
+    img = line[..., 0] if line.ndim == 3 else line
+    if rng.rand() < 0.7:  # horizontal shear: italic-like slant
+        s = rng.uniform(-0.25, 0.25)
+        m = np.float32([[1, s, -s * h / 2], [0, 1, 0]])
+        img = cv2.warpAffine(img, m, (w, h), borderMode=cv2.BORDER_REPLICATE)
+    if rng.rand() < 0.5:  # stroke width: erode/dilate one step
+        k = np.ones((2, 2), np.uint8)
+        img = (cv2.dilate(img, k) if rng.rand() < 0.5 else cv2.erode(img, k))
+    if rng.rand() < 0.5:
+        img = cv2.GaussianBlur(img, (3, 3), rng.uniform(0.3, 1.0))
+    if rng.rand() < 0.5:  # contrast/gamma jitter
+        img = np.clip(img ** rng.uniform(0.7, 1.4) * rng.uniform(0.8, 1.2), 0, 1)
+    if rng.rand() < 0.3:
+        img = np.clip(img + rng.randn(h, w).astype(np.float32) * 0.03, 0, 1)
+    return img.astype(np.float32)[..., None]
+
+
+def render_line(rng: np.random.RandomState, text: str,
+                font: int | None = None) -> np.ndarray:
     """Render one text line -> float [LINE_H, LINE_W, 1] in 0..1.
 
     Matches the inference path (ocr.py read_text_batch): text is rendered at
@@ -35,17 +76,17 @@ def render_line(rng: np.random.RandomState, text: str) -> np.ndarray:
     """
     import cv2
 
+    if font is None:
+        font = cv2.FONT_HERSHEY_SIMPLEX
     scale = rng.uniform(0.45, 1.6)
     thickness = int(rng.randint(1, 4))
-    (tw, th), baseline = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX,
-                                         scale, thickness)
+    (tw, th), baseline = cv2.getTextSize(text, font, scale, thickness)
     mx, my = int(rng.randint(1, 8)), int(rng.randint(1, 8))
     h, w = th + baseline + 2 * my, tw + 2 * mx
     img = np.full((h, w), int(rng.randint(0, 80)), np.uint8)
     img = img + rng.randint(0, 25, img.shape).astype(np.uint8)
     color = int(rng.randint(180, 255))
-    cv2.putText(img, text, (mx, my + th), cv2.FONT_HERSHEY_SIMPLEX, scale,
-                color, thickness)
+    cv2.putText(img, text, (mx, my + th), font, scale, color, thickness)
     img = cv2.resize(img, (LINE_W, LINE_H))
     return img.astype(np.float32)[..., None] / 255.0
 
@@ -90,23 +131,33 @@ def scene_crop_line(rng: np.random.RandomState, text: str,
     return line.astype(np.float32)[..., None] / 255.0
 
 
-def recognizer_batch(rng: np.random.RandomState, batch: int):
+def recognizer_batch(rng: np.random.RandomState, batch: int,
+                     augment: bool = False):
     """(lines float [B, 32, 256, 1], labels [B, 32] int32, texts).
 
     Half the batch is clean :func:`render_line` strips, half is
     :func:`scene_crop_line` — crops produced exactly like the inference
     path, including long chyron-length strings.
+
+    ``augment``: half of each kind additionally draws a random NON-held-out
+    font face (:func:`_train_font`) and passes through the font-agnostic
+    shape/photometric jitter (:func:`_augment_line`) — the glyph-shape
+    invariance lever for unseen-font generalization.
     """
     lines = np.zeros((batch, LINE_H, LINE_W, 1), np.float32)
     labels = np.zeros((batch, 32), np.int32)
     texts: List[str] = []
     for i in range(batch):
-        if i % 2 == 0:
+        aug = augment and i % 2 == 1
+        font = _train_font(rng) if aug else None
+        if i % 4 < 2:
             text = random_text(rng)
-            lines[i] = render_line(rng, text)
+            lines[i] = render_line(rng, text, font=font)
         else:
             text = random_text(rng, 4, 18)
-            lines[i] = scene_crop_line(rng, text)
+            lines[i] = scene_crop_line(rng, text, font=font)
+        if aug:
+            lines[i] = _augment_line(rng, lines[i])
         labels[i] = encode_ctc_labels(text)
         texts.append(text)
     return lines, labels, texts

@@ -18,7 +18,8 @@ import numpy as np
 
 
 def train_recognizer(steps: int, batch: int, width: int, out: str, seed: int = 0,
-                     resume: bool = False, lr: float = 1e-3):
+                     resume: bool = False, lr: float = 1e-3,
+                     augment: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -44,7 +45,7 @@ def train_recognizer(steps: int, batch: int, width: int, out: str, seed: int = 0
 
     t0 = time.perf_counter()
     for i in range(steps):
-        lines, labels, _ = recognizer_batch(rng, batch)
+        lines, labels, _ = recognizer_batch(rng, batch, augment=augment)
         params, opt_state, loss = step(params, opt_state, jnp.asarray(lines),
                                        jnp.asarray(labels))
         if i % 100 == 0 or i == steps - 1:
@@ -136,15 +137,25 @@ def main():
     ap.add_argument("--only", choices=["rec", "det"], default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--augment", action="store_true",
+                    help="font-diversity + shape jitter on half of each "
+                         "recognizer batch (non-held-out faces only; see "
+                         "synthetic_text._train_font)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="train on the CPU backend")
     args = ap.parse_args()
 
+    if args.cpu:
+        import fvd_tpu
+
+        fvd_tpu.force_cpu()
     import jax
 
     print(f"backend: {jax.default_backend()}")
     if args.only in (None, "rec"):
         train_recognizer(args.steps, args.batch, args.rec_width,
                          os.path.join(args.out_dir, "ocr_rec.npz"),
-                         resume=args.resume, lr=args.lr)
+                         resume=args.resume, lr=args.lr, augment=args.augment)
     if args.only in (None, "det"):
         train_detector(max(200, args.steps // 3), args.batch, args.det_width,
                        os.path.join(args.out_dir, "ocr_det.npz"),
