@@ -163,9 +163,14 @@ def recognizer_batch(rng: np.random.RandomState, batch: int,
     return lines, labels, texts
 
 
-def detector_sample(rng: np.random.RandomState) -> Tuple[np.ndarray, np.ndarray]:
+def detector_sample(rng: np.random.RandomState,
+                    augment: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """One detection image: RGB uint8 [DET_SIZE, DET_SIZE, 3] with 1-3 text
-    strips, plus the ground-truth text mask [DET_SIZE, DET_SIZE] float."""
+    strips, plus the ground-truth text mask [DET_SIZE, DET_SIZE] float.
+
+    ``augment``: draw each strip in a random NON-held-out font face
+    (:func:`_train_font`) so region detection generalizes to unseen glyph
+    shapes too."""
     import cv2
 
     img = (rng.rand(DET_SIZE, DET_SIZE, 3) * 90).astype(np.uint8)
@@ -173,29 +178,28 @@ def detector_sample(rng: np.random.RandomState) -> Tuple[np.ndarray, np.ndarray]
     mask = np.zeros((DET_SIZE, DET_SIZE), np.float32)
     for _ in range(rng.randint(1, 4)):
         text = random_text(rng, 4, 14)
+        font = _train_font(rng) if augment else cv2.FONT_HERSHEY_SIMPLEX
         scale = rng.uniform(0.4, 1.4)
         thickness = int(rng.randint(1, 4))
-        ((tw, th), baseline) = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX,
-                                               scale, thickness)
+        ((tw, th), baseline) = cv2.getTextSize(text, font, scale, thickness)
         if tw >= DET_SIZE - 6:
             scale *= (DET_SIZE - 8) / tw
-            ((tw, th), baseline) = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX,
-                                                   scale, thickness)
+            ((tw, th), baseline) = cv2.getTextSize(text, font, scale, thickness)
         x = rng.randint(2, max(3, DET_SIZE - tw - 2))
         y = rng.randint(th + 2, DET_SIZE - baseline - 2)
         color = tuple(int(c) for c in rng.randint(170, 255, 3))
-        cv2.putText(img, text, (x, y), cv2.FONT_HERSHEY_SIMPLEX, scale, color,
-                    thickness)
+        cv2.putText(img, text, (x, y), font, scale, color, thickness)
         mask[max(0, y - th - 2) : min(DET_SIZE, y + baseline + 2),
              max(0, x - 2) : min(DET_SIZE, x + tw + 2)] = 1.0
     return img, mask
 
 
-def detector_batch(rng: np.random.RandomState, batch: int):
+def detector_batch(rng: np.random.RandomState, batch: int,
+                   augment: bool = False):
     imgs = np.zeros((batch, DET_SIZE, DET_SIZE, 3), np.float32)
     masks = np.zeros((batch, DET_SIZE, DET_SIZE), np.float32)
     for i in range(batch):
-        img, mask = detector_sample(rng)
+        img, mask = detector_sample(rng, augment=augment and i % 2 == 1)
         imgs[i] = img.astype(np.float32) / 255.0
         masks[i] = mask
     return imgs, masks

@@ -73,7 +73,8 @@ def train_recognizer(steps: int, batch: int, width: int, out: str, seed: int = 0
 
 
 def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 1,
-                   resume: bool = False, lr: float = 1e-3):
+                   resume: bool = False, lr: float = 1e-3,
+                   augment: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -104,7 +105,7 @@ def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 1,
 
     t0 = time.perf_counter()
     for i in range(steps):
-        imgs, masks = detector_batch(rng, batch)
+        imgs, masks = detector_batch(rng, batch, augment=augment)
         params, opt_state, loss = step(params, opt_state, jnp.asarray(imgs),
                                        jnp.asarray(masks))
         if i % 100 == 0 or i == steps - 1:
@@ -159,7 +160,7 @@ def main():
     if args.only in (None, "det"):
         train_detector(max(200, args.steps // 3), args.batch, args.det_width,
                        os.path.join(args.out_dir, "ocr_det.npz"),
-                       resume=args.resume, lr=args.lr)
+                       resume=args.resume, lr=args.lr, augment=args.augment)
 
 
 if __name__ == "__main__":
