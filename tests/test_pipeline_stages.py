@@ -42,6 +42,36 @@ def test_pipeline_forward_matches_sequential(s, m):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_pipeline_grad_matches_sequential():
+    """jax.grad flows through the stage ring (ppermute transposes to the
+    reverse permute), so the pp stack trains — gradients equal the
+    sequential stack's."""
+    s, m, d, b = 4, 6, 4, 8
+    if len(jax.devices()) < s:
+        pytest.skip(f"needs {s} devices")
+    rng = np.random.RandomState(2)
+    layers = _init_layers(rng, s, d)
+    stacked = stack_layer_params(layers)
+    xs = jnp.asarray(rng.randn(m, b, d), jnp.float32)
+    tgt = jnp.asarray(rng.randn(m, b, d), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:s]), ("stage",))
+
+    def loss_pp(p):
+        return jnp.mean((pipeline_forward(mesh, _mlp_layer, p, xs) - tgt) ** 2)
+
+    def loss_seq(ls):
+        y = xs
+        for p in ls:
+            y = jax.vmap(lambda x, p=p: _mlp_layer(p, x))(y)
+        return jnp.mean((y - tgt) ** 2)
+
+    g_pp = jax.grad(loss_pp)(stacked)
+    g_seq = stack_layer_params(jax.grad(loss_seq)(layers))
+    for a, c in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_pipeline_forward_is_jittable():
     s, m, d, b = 4, 5, 8, 2
     if len(jax.devices()) < s:
