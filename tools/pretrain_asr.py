@@ -172,6 +172,9 @@ def main():
     ap.add_argument("--noise", type=float, default=0.002,
                     help="formant-domain training noise floor (also the "
                          "checkpoint's inference dither)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continuation-finetune: load params from --out")
+    ap.add_argument("--lr", type=float, default=1e-3)
     args = ap.parse_args()
     if args.cpu:
         import fvd_tpu
@@ -202,7 +205,12 @@ def main():
         jnp.zeros((1, mel_frames, asr.N_MELS), jnp.float32),
         jnp.zeros((1, max_tokens), jnp.int32),
     )
-    tx = optax.adam(1e-3)
+    if args.resume and os.path.exists(args.out):
+        from fvd_tpu.models.encoders import load_params
+
+        params = load_params(args.out, params)
+        print(f"[asr] resumed params from {args.out}")
+    tx = optax.adam(args.lr)
     opt_state = tx.init(params)
 
     @jax.jit
