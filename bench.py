@@ -48,6 +48,28 @@ def _emit_on_signal(signum, frame):
     os._exit(1)
 
 
+def _devices_or_reexec():
+    """jax.devices(), retrying backend bring-up by re-exec.
+
+    The tunneled TPU backend has been observed down for stretches
+    (`UNAVAILABLE: TPU backend setup/compile error`); a failed init can
+    stick for the process lifetime, so retry with a fresh process.  Bounded
+    by FVD_TPU_BENCH_RETRIES (default 6 x 120 s ~ 12 min of patience)."""
+    import jax
+
+    try:
+        return jax.devices()
+    except RuntimeError as e:
+        left = int(os.environ.get("FVD_TPU_BENCH_RETRIES", "6"))
+        if left <= 0:
+            raise
+        log(f"bench: backend init failed ({e}); {left} retries left, "
+            "sleeping 120s and re-exec'ing")
+        time.sleep(120)
+        os.environ["FVD_TPU_BENCH_RETRIES"] = str(left - 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main() -> None:
     signal.signal(signal.SIGTERM, _emit_on_signal)
     signal.signal(signal.SIGINT, _emit_on_signal)
@@ -63,7 +85,8 @@ def main() -> None:
 
     fixtures = "--fixtures" in sys.argv
 
-    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    devices = _devices_or_reexec()
+    log(f"backend: {jax.default_backend()} devices: {devices}")
     if len(jax.devices()) > 1:
         # multi-chip: shard every coalesced model forward's batch dim over
         # the data axis (parallel/inference.py); no-op on one chip
