@@ -102,3 +102,47 @@ def stack_layer_params(params_list):
     leading layer axis, the placement format :func:`pipeline_forward`
     shards one-layer-per-device."""
     return jax.tree.map(lambda *leaves: jnp.stack(leaves), *params_list)
+
+
+def asr_encoder_pp(model_params, mel, mesh, dim: int = 192, depth: int = 4,
+                   heads: int = 0, microbatches: int | None = None,
+                   axis: str = "stage"):
+    """The ASR encoder (``models/asr.py AsrEncoder``) with its transformer
+    block stack pipeline-parallel over ``mesh[axis]``.
+
+    The conv subsampling frontend, positions and final LayerNorm are cheap
+    and run replicated; the ``depth`` MHABlocks — where the weights and
+    FLOPs live — run one-block-per-device via :func:`pipeline_forward`.
+    Output equals ``AsrEncoder.apply`` (tests/test_pipeline_stages.py).
+
+    ``mel``: [B, T, 80]; the batch is split into ``microbatches`` groups
+    (default: the stage count) to fill the pipeline.
+    """
+    import flax.linen as nn
+
+    from fvd_tpu.models.transformer import MHABlock, sincos_positions
+
+    enc = model_params["params"]["encoder"]
+    heads = heads or max(1, dim // 32)
+    S = mesh.shape[axis]
+    assert depth == S, f"one block per stage: depth={depth} vs stage={S}"
+
+    x = nn.Conv(dim, (3,), padding="SAME").apply({"params": enc["Conv_0"]}, mel)
+    x = nn.gelu(x)
+    x = nn.Conv(dim, (3,), strides=(2,), padding="SAME").apply(
+        {"params": enc["Conv_1"]}, x)
+    x = nn.gelu(x)
+    x = x + jnp.asarray(sincos_positions(x.shape[1], dim))
+
+    M = microbatches or S
+    B = x.shape[0]
+    assert B % M == 0, f"batch {B} not divisible into {M} microbatches"
+    xs = x.reshape(M, B // M, *x.shape[1:])
+
+    block = MHABlock(dim, heads)
+    stacked = stack_layer_params([enc[f"MHABlock_{i}"] for i in range(depth)])
+    ys = pipeline_forward(
+        mesh, lambda p, a: block.apply({"params": p}, a), stacked, xs,
+        axis=axis)
+    y = ys.reshape(B, *ys.shape[2:])
+    return nn.LayerNorm().apply({"params": enc["LayerNorm_0"]}, y)

@@ -72,6 +72,29 @@ def test_pipeline_grad_matches_sequential():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_asr_encoder_pp_matches_replicated():
+    """The real-model pp path: the ASR encoder's MHABlock stack one-block-
+    per-device equals the plain replicated encoder forward."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from fvd_tpu.models.asr import N_MELS, AsrModel
+    from fvd_tpu.parallel.stages import asr_encoder_pp
+
+    dim, depth, b, t = 64, 4, 4, 32
+    model = AsrModel(dim=dim, depth=depth)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, t, N_MELS), jnp.float32),
+                        jnp.zeros((1, 8), jnp.int32))
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(b, t, N_MELS), jnp.float32)
+
+    ref = model.apply(params, mel, method=AsrModel.encode)
+    mesh = Mesh(np.array(jax.devices()[:depth]), ("stage",))
+    out = asr_encoder_pp(params, mel, mesh, dim=dim, depth=depth)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_pipeline_forward_is_jittable():
     s, m, d, b = 4, 5, 8, 2
     if len(jax.devices()) < s:
