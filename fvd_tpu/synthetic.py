@@ -68,6 +68,7 @@ def make_face_video(
     pose_jitter: float = 0.0,
     mouth_gate_hz: float | None = None,
     speech_renderer: str = "tone",
+    heldout: bool = False,
 ) -> str:
     """Procedural-face video for the real-model path: an elliptical face
     (the trained detector/landmark nets' domain, models/synthetic_faces.py)
@@ -103,12 +104,29 @@ def make_face_video(
 
     os.makedirs(dirpath, exist_ok=True)
     rng = np.random.RandomState(seed)
-    background = (rng.rand(height, width, 3) * 60 + rng.rand(3) * 120).astype(np.uint8)
-    background = cv2.blur(background, (5, 5))
-    skin = np.array([rng.randint(160, 230), rng.randint(120, 190), rng.randint(100, 170)])
+    if heldout:
+        # the held-out face distribution of tools/eval_heldout.py, as a
+        # VIDEO: striped gradient background, eccentricity/skin outside the
+        # training ranges, glasses + hair accessories — measures whether the
+        # PIPELINE's signals survive on faces the models never trained on
+        background = np.zeros((height, width, 3), np.uint8)
+        base = rng.rand(3) * 150
+        grad = np.linspace(0, 80, height)[:, None]
+        for c in range(3):
+            background[..., c] = np.clip(
+                base[c] + grad + 25 * np.sin(
+                    np.arange(width)[None, :] / rng.uniform(6, 18)), 0, 255)
+        skin = np.array([rng.randint(130, 255), rng.randint(100, 210),
+                         rng.randint(80, 200)])
+        fh = 0.62 * height
+        fw = fh / 1.52  # eccentricity outside the training [1.1, 1.4]
+    else:
+        background = (rng.rand(height, width, 3) * 60 + rng.rand(3) * 120).astype(np.uint8)
+        background = cv2.blur(background, (5, 5))
+        skin = np.array([rng.randint(160, 230), rng.randint(120, 190), rng.randint(100, 170)])
 
-    fh = 0.62 * height
-    fw = fh / 1.25
+        fh = 0.62 * height
+        fw = fh / 1.25
     n = int(fps * duration)
     frames = np.zeros((n, height, width, 3), np.uint8)
     mouth_hz = gate_hz if mouth_gate_hz is None else mouth_gate_hz
@@ -121,7 +139,17 @@ def make_face_video(
             cx += pose_jitter * rng.randn()
             cy += pose_jitter * rng.randn()
         frame = background.copy()
-        draw_face(frame, cx, cy, fw, fh, skin, aperture=gate)
+        pts = draw_face(frame, cx, cy, fw, fh, skin, aperture=gate)
+        if heldout:  # accessories the training renderer never draws
+            dark = tuple((skin * 0.3).astype(int).tolist())
+            for base_i in (36, 42):  # glasses rings + bridge
+                c = pts[base_i: base_i + 6].mean(axis=0).astype(int)
+                cv2.circle(frame, tuple(c), max(3, int(fw * 0.12)), dark, 2)
+            l = pts[36:42].mean(axis=0).astype(int)
+            r = pts[42:48].mean(axis=0).astype(int)
+            cv2.line(frame, tuple(l), tuple(r), dark, 2)
+            cv2.ellipse(frame, (int(cx), int(cy - 0.1 * fh)),  # hair arc
+                        (int(fw * 0.55), int(fh * 0.5)), 0, 180, 360, dark, -1)
         if texture_noise > 0:
             y0, y1 = int(cy - fh / 2), int(cy + fh / 2)
             x0, x1 = int(cx - fw / 2), int(cx + fw / 2)
