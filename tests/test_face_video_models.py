@@ -27,6 +27,27 @@ def _mar(mouth: np.ndarray) -> float:
 
 
 @pytest.mark.skipif(not HAS_CKPTS, reason="no trained vision checkpoints")
+def test_trained_models_handle_heldout_video(tmp_path):
+    """make_face_video(heldout=True): striped background, out-of-range
+    eccentricity/skin, glasses + hair — the shipped (augmentation-hardened)
+    detector must still find the face on most frames."""
+    from fvd_tpu.providers.factory import production_providers
+    from fvd_tpu.providers.media import VideoReader, clear_frame_cache
+    from fvd_tpu.synthetic import make_face_video
+
+    path = make_face_video(str(tmp_path), "ho", duration=2.0, fps=10.0,
+                           gate_hz=1.0, seed=7, heldout=True)
+    prov = production_providers(checkpoint_dir=os.path.abspath(CKPT_DIR),
+                                use_llm=False, use_search=False)
+    clear_frame_cache()
+    frames, kept = VideoReader().sample(path, list(range(20)))
+    assert len(kept) >= 15
+    dets = prov.face_detector.detect_batch(frames)
+    det_rate = sum(1 for d in dets if d) / len(dets)
+    assert det_rate >= 0.6, f"held-out detection rate {det_rate}"
+
+
+@pytest.mark.skipif(not HAS_CKPTS, reason="no trained vision checkpoints")
 def test_trained_models_track_face_video(tmp_path):
     from fvd_tpu.providers.factory import production_providers
     from fvd_tpu.providers.media import VideoReader, clear_frame_cache
