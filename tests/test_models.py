@@ -389,3 +389,59 @@ def test_landmarks_bf16_close_to_f32():
     c32 = np.asarray(landmarks_fan.landmarks_forward(params, crops_u8, width=32,
                                                      compute_dtype=jnp.float32))
     np.testing.assert_allclose(c16, c32, atol=0.02)  # coords in [0,1]
+
+
+def test_clip_heldout_scene_discrimination():
+    """The shipped CLIP separates face/background and matches overlay text
+    on HELD-OUT renders (striped-background faces with accessories, unseen
+    font faces) as well as in-domain — the C2 gesture check's robustness
+    guard."""
+    import os
+
+    import cv2
+
+    ckpt = os.path.join(os.path.dirname(__file__), "..", "checkpoints", "clip.npz")
+    if not os.path.exists(ckpt):
+        pytest.skip("trained CLIP checkpoint not present")
+    import inspect
+    import json
+
+    from fvd_tpu.models.encoders import IMAGE_SIZE
+
+    with open(ckpt.replace(".npz", ".json")) as f:
+        meta = json.load(f)
+    accepted = set(inspect.signature(encoders.JaxClip.__init__).parameters)
+    clip = encoders.JaxClip(checkpoint=ckpt,
+                            **{k: v for k, v in meta.items() if k in accepted})
+
+    sys_path = os.path.join(os.path.dirname(__file__), "..", "tools")
+    import sys
+
+    sys.path.insert(0, sys_path)
+    try:
+        from eval_heldout import render_face_heldout
+    finally:
+        sys.path.remove(sys_path)
+
+    rng = np.random.RandomState(9)
+    ok = total = 0
+    for i in range(8):
+        if i % 2 == 0:
+            img, _, _ = render_face_heldout(rng, IMAGE_SIZE)
+            a = clip.image_text_similarity(img, "a person's face looking at the camera")
+            b = clip.image_text_similarity(img, "an empty textured background")
+        else:
+            from fvd_tpu.models.synthetic_text import random_text
+
+            text = random_text(rng, 3, 10)
+            img = (rng.rand(IMAGE_SIZE, IMAGE_SIZE, 3) * 70).astype(np.uint8)
+            img = cv2.blur(img, (3, 3))
+            font = [cv2.FONT_HERSHEY_DUPLEX, cv2.FONT_HERSHEY_COMPLEX,
+                    cv2.FONT_HERSHEY_TRIPLEX][rng.randint(3)]
+            cv2.putText(img, text, (4, rng.randint(30, IMAGE_SIZE - 10)), font,
+                        rng.uniform(0.45, 0.7), (235, 235, 235), 2)
+            a = clip.image_text_similarity(img, f"text saying {text}")
+            b = clip.image_text_similarity(img, f"text saying {random_text(rng, 3, 10)}")
+        total += 1
+        ok += int(a > b)
+    assert ok >= 7, f"held-out CLIP discrimination {ok}/{total}"
