@@ -1,0 +1,82 @@
+"""Driver-contract robustness of bench.py.
+
+The driver records bench.py's single stdout JSON line; behind a tunnel
+that has been observed degraded (40+ min warmups) and hard-down
+(backend UNAVAILABLE for hours), the bench must still produce a truthful
+number when killed, and must retry backend bring-up."""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def test_sigterm_emits_best_so_far():
+    code = textwrap.dedent("""
+        import sys, time, signal
+        sys.path.insert(0, %r)
+        import bench
+        bench._RESULT.update({"metric": "m", "value": 42.0,
+                              "unit": "videos/min", "vs_baseline": 0.84})
+        signal.signal(signal.SIGTERM, bench._emit_on_signal)
+        print("READY", flush=True)
+        time.sleep(30)
+    """ % os.path.abspath(REPO))
+    p = subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+    assert p.stdout.readline().strip() == "READY"
+    p.terminate()
+    out, _ = p.communicate(timeout=30)
+    rec = json.loads(out.strip())
+    assert rec["value"] == 42.0 and rec["unit"] == "videos/min"
+    assert p.returncode == 0
+
+
+def test_sigterm_without_result_exits_nonzero():
+    code = textwrap.dedent("""
+        import sys, time, signal
+        sys.path.insert(0, %r)
+        import bench
+        signal.signal(signal.SIGTERM, bench._emit_on_signal)
+        print("READY", flush=True)
+        time.sleep(30)
+    """ % os.path.abspath(REPO))
+    p = subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+    assert p.stdout.readline().strip() == "READY"
+    p.terminate()
+    out, _ = p.communicate(timeout=30)
+    assert out.strip() == ""  # no fabricated number
+    assert p.returncode == 1
+
+
+def test_backend_retry_reexecs_then_raises(monkeypatch):
+    import types
+
+    sys.path.insert(0, os.path.abspath(REPO))
+    import bench
+
+    fake = types.ModuleType("jax")
+
+    def boom():
+        raise RuntimeError("UNAVAILABLE: fake")
+
+    fake.devices = boom
+    monkeypatch.setitem(sys.modules, "jax", fake)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    calls = []
+    monkeypatch.setattr(bench.os, "execv", lambda exe, argv: calls.append(exe))
+
+    monkeypatch.setenv("FVD_TPU_BENCH_RETRIES", "2")
+    bench._devices_or_reexec()
+    assert calls == [sys.executable]
+    assert os.environ["FVD_TPU_BENCH_RETRIES"] == "1"
+
+    monkeypatch.setenv("FVD_TPU_BENCH_RETRIES", "0")
+    with pytest.raises(RuntimeError):
+        bench._devices_or_reexec()
