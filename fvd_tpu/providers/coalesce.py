@@ -59,6 +59,13 @@ class _Coalescer:
         self.run_group = run_group
         self.max_total = max_total
         self.max_wait_s = max_wait_ms / 1000.0
+        #: adaptive window: behind a degraded tunnel a group's dispatch+fetch
+        #: round trip costs 100s of ms, so waiting a bit longer to merge more
+        #: staggered arrivals into ONE round trip is a clear win; in healthy
+        #: windows the EMA is small and the configured window stands.
+        #: window = clamp(base, 0.15 * EMA(group seconds), 50 ms).
+        self._base_wait_s = self.max_wait_s
+        self._rtt_ema: Optional[float] = None
         self._q: "queue.Queue[Optional[_Req]]" = queue.Queue()
         self._running = True
         self._state_lock = threading.Lock()  # serializes submit vs close
@@ -155,8 +162,18 @@ class _Coalescer:
             # span name = the op family (key[0]); the rest of the key is
             # geometry.  Shows where merged device-program time actually
             # goes, separate from the node spans' contention-inflated waits.
+            t0 = time.monotonic()
             with get_tracer().span(f"coalesce/{key[0]}", n=len(chunk)):
                 results = self.run_group(key, [r.payload for r in chunk])
+            rtt = time.monotonic() - t0
+            import os as _os
+
+            if not _os.environ.get("FVD_TPU_NO_ADAPTIVE_WINDOW"):
+                with self._stats_lock:
+                    self._rtt_ema = (rtt if self._rtt_ema is None
+                                     else 0.8 * self._rtt_ema + 0.2 * rtt)
+                    self.max_wait_s = min(
+                        0.050, max(self._base_wait_s, 0.15 * self._rtt_ema))
             if len(results) != len(chunk):  # a silent mismatch would leave
                 # the unmatched futures blocking their caller threads forever
                 raise RuntimeError(

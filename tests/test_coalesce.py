@@ -224,6 +224,29 @@ def test_coalesce_providers_wraps_only_device_models():
         close()
 
 
+def test_coalesce_window_adapts_to_slow_groups():
+    """Behind a degraded tunnel (group round trips of 100s of ms) the
+    batching window widens toward 0.15x the RTT EMA (capped 50 ms), merging
+    more staggered arrivals per dispatch; healthy windows keep the base."""
+    import time as _time
+
+    class SlowLandmarks(FakeLandmarks):
+        def landmarks_batch(self, frames):
+            _time.sleep(0.12)  # a degraded-window group round trip
+            return super().landmarks_batch(frames)
+
+    co = CoalescingLandmarks(SlowLandmarks(), bucket_frames=8, max_wait_ms=6.0)
+    try:
+        assert co._co.max_wait_s == pytest.approx(0.006)
+        frames = np.zeros((1, 8, 8, 3), np.uint8)
+        for _ in range(4):
+            co.landmarks_batch(frames)
+        assert co._co.max_wait_s > 0.010  # widened toward 0.15 * ~0.12 s
+        assert co._co.max_wait_s <= 0.050
+    finally:
+        co.close()
+
+
 def test_coalesce_window_env_override(monkeypatch):
     """FVD_TPU_COALESCE_WAIT_MS widens the batching window (tunnel-RTT
     tuning lever: fewer, larger device dispatches)."""
