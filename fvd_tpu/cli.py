@@ -35,7 +35,16 @@ def main(argv=None) -> int:
                              "chunk by chunk (vision+audio features)")
     parser.add_argument("--chunk-seconds", type=float, default=5.0,
                         help="prefix chunk size for --stream")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU jax backend (the TPU harness "
+                             "pins jax_platforms at import, so the env var "
+                             "alone does not work)")
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        import fvd_tpu
+
+        fvd_tpu.force_cpu()
 
     # Entry points run the best-available models (trained checkpoints, HF
     # drop-ins, credentialed backends) — the reference CLI's behavior

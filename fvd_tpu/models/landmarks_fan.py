@@ -228,6 +228,46 @@ def pose_from_frames(params, frames_dev, boxes, owners, width: int = 32) -> jax.
     return euler_from_matrix_deg(rotation_6d_to_matrix(d6))
 
 
+@partial(jax.jit, static_argnames=("width", "pose_width", "compute_dtype"))
+def landmarks_pose_from_frames(lmk_params, pose_params, frames_dev, boxes,
+                               owners, frame_w, frame_h, pad_frac,
+                               width: int = 64, pose_width: int = 32,
+                               compute_dtype=jnp.bfloat16):
+    """ONE device program: crop gather + hourglass landmarks + per-detection
+    6D pose — the pose crop box derived ON DEVICE from the landmark coords.
+
+    Eliminates the landmark-fetch -> host-track -> pose-dispatch round trip
+    the V4 node otherwise pays per chunk (reference runs FAN then SixDRepNet
+    as two separate model calls per sampled frame, v4:131-135).  The box
+    math replicates the host tracker exactly (``_tracking.landmark_box`` +
+    V4's pad/clip, both int-truncation): frame-space points in float32 with
+    the same expression order, so min/max/trunc agree bit-for-bit.  The one
+    residual difference is the pad product ``(x_max - x_min) * pad_frac``
+    (host float64, device float32), which can shift a crop edge by 1 px when
+    the product lands exactly on an integer — paired-eval guarded.
+    """
+    coords = landmarks_from_frames.__wrapped__(
+        lmk_params, frames_dev, boxes, owners, width=width,
+        compute_dtype=compute_dtype)                       # [N, 68, 2] in [0,1]
+    x1, y1 = boxes[:, 0], boxes[:, 1]
+    x2, y2 = boxes[:, 2], boxes[:, 3]
+    px = x1[:, None] + coords[:, :, 0] * (x2 - x1)[:, None]   # float32, same
+    py = y1[:, None] + coords[:, :, 1] * (y2 - y1)[:, None]   # expr as host
+    bx1, bx2 = jnp.trunc(jnp.min(px, axis=1)), jnp.trunc(jnp.max(px, axis=1))
+    by1, by2 = jnp.trunc(jnp.min(py, axis=1)), jnp.trunc(jnp.max(py, axis=1))
+    pad_w = jnp.trunc((bx2 - bx1) * pad_frac)
+    pad_h = jnp.trunc((by2 - by1) * pad_frac)
+    qx1 = jnp.maximum(0.0, bx1 - pad_w)
+    qy1 = jnp.maximum(0.0, by1 - pad_h)
+    qx2 = jnp.minimum(jnp.float32(frame_w), bx2 + pad_w)
+    qy2 = jnp.minimum(jnp.float32(frame_h), by2 + pad_h)
+    pose_boxes = jnp.stack([qx1, qy1, qx2, qy2], axis=1)
+    pc = _device_crops(frames_dev, pose_boxes, owners)
+    d6 = PoseHead(width=pose_width).apply(pose_params, pc)
+    pose = euler_from_matrix_deg(rotation_6d_to_matrix(d6))
+    return coords, pose
+
+
 def _pad_bucket(n: int) -> int:
     """Static shape bucket (next power of two, >= 8) so varying face counts
     don't recompile the fused programs."""
@@ -323,6 +363,57 @@ class FANLandmarks:
             )
             out[owner].append(pts)
         return out
+
+    def landmarks_pose_batch(self, frames: np.ndarray, device_frames=None,
+                             pose_pad: float = 0.0):
+        """Fused landmarks + per-detection pose in ONE device program
+        (``landmarks_pose_from_frames``): returns ``(lm_lists, pose_lists)``
+        where ``pose_lists[i][j]`` is the (pitch, yaw, roll) the pose head
+        yields for detection ``j`` of frame ``i`` using the V4 tracker's
+        crop-box rule (padded landmark bbox).  Requires the HBM-resident
+        frame tensor; without it falls back to landmarks only
+        (``pose_lists`` is None and the caller uses the two-dispatch path).
+        """
+        if device_frames is None:
+            return self.landmarks_batch(frames), None
+        detections = self.face_detector.detect_batch(device_frames)
+        h, w = frames.shape[1:3]
+        owners, boxes = [], []
+        for i, dets in enumerate(detections):
+            for d in dets:
+                if d.confidence < self.detector_threshold:
+                    continue
+                x1, y1 = max(0, int(d.x1)), max(0, int(d.y1))
+                x2, y2 = min(w, int(d.x2)), min(h, int(d.y2))
+                if x2 - x1 < 4 or y2 - y1 < 4:
+                    continue
+                owners.append(i)
+                boxes.append((x1, y1, x2, y2))
+        out_lm: List[List[np.ndarray]] = [[] for _ in range(len(frames))]
+        out_pose: List[List[np.ndarray]] = [[] for _ in range(len(frames))]
+        if not boxes:
+            return out_lm, out_pose
+        n = len(boxes)
+        pad = _pad_bucket(n)
+        boxes_arr = np.zeros((pad, 4), np.float32)
+        boxes_arr[:n] = np.asarray(boxes, np.float32)
+        boxes_arr[n:] = [0, 0, CROP_SIZE, CROP_SIZE]
+        owners_arr = np.zeros(pad, np.int32)
+        owners_arr[:n] = owners
+        coords, poses = jax.device_get(landmarks_pose_from_frames(
+            self.landmark_params, self.pose_params, device_frames,
+            jnp.asarray(boxes_arr), jnp.asarray(owners_arr),
+            float(w), float(h), float(pose_pad),
+            width=self.width, pose_width=self.pose_width))
+        coords = coords[:n]
+        poses = poses[:n]
+        for (x1, y1, x2, y2), owner, c, p in zip(boxes, owners, coords, poses):
+            pts = np.stack(
+                [x1 + c[:, 0] * (x2 - x1), y1 + c[:, 1] * (y2 - y1)], axis=1
+            )
+            out_lm[owner].append(pts)
+            out_pose[owner].append(p)
+        return out_lm, out_pose
 
     def pose_batch(self, crops: np.ndarray) -> np.ndarray:
         if len(crops) == 0:

@@ -55,6 +55,7 @@ def track_chunk(
     n_pts: int = 68,
     dim: int = 2,
     collect_boxes: bool = False,
+    collect_sel: bool = False,
     processed: int = 0,
 ):
     """Per-frame track selection for one decoded chunk (shared by V3, V4
@@ -65,6 +66,9 @@ def track_chunk(
     forward's output).  Returns ``(times [T] f64, raw [T, n_pts, dim],
     valid [T] bool, boxes)`` where ``boxes`` is the tracker's (possibly
     padded) active box per selected frame when ``collect_boxes`` else None.
+    With ``collect_sel`` a fifth element is appended: the selected
+    candidate index per frame (-1 where invalid) — the row key into the
+    fused landmark+pose forward's per-detection pose output.
     2D landmark sets are zero-extended to ``dim`` (V4's 3D track with a 2D
     provider).
     """
@@ -76,6 +80,7 @@ def track_chunk(
     raw = np.zeros((T, n_pts, dim), np.float64)
     valid = np.zeros(T, bool)
     boxes: Optional[List[Optional[List[int]]]] = [None] * T if collect_boxes else None
+    sel: Optional[List[int]] = [-1] * T if collect_sel else None
     for i, lm_list in enumerate(all_landmarks):
         idx = tracker.select([np.asarray(lm)[:, :2] for lm in lm_list])
         if idx == -1:
@@ -89,6 +94,10 @@ def track_chunk(
         valid[i] = True
         if boxes is not None:
             boxes[i] = list(tracker.active_box)
+        if sel is not None:
+            sel[i] = idx
+    if sel is not None:
+        return times, raw, valid, boxes, sel
     return times, raw, valid, boxes
 
 

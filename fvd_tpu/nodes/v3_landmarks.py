@@ -110,8 +110,12 @@ def run(
                 dev = (device_frames_for(video_path, kept_ids, frames)
                        if getattr(providers.landmarks, "accepts_device_frames", False)
                        else None)
+                # pose_pad: makes the shared entry fused (landmarks+poses in
+                # one program) so the concurrently-running V4 reuses it
+                # without its own pose dispatch — V3 ignores the poses.
                 all_landmarks = shared_landmarks(video_path, kept_ids,
-                                                 providers.landmarks, frames, dev)
+                                                 providers.landmarks, frames, dev,
+                                                 pose_pad=cfg.pose_crop_pad_frac)
 
             T = len(kept_ids)
             with tracer.span("v3/track"):

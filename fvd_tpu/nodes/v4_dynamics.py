@@ -30,7 +30,7 @@ from fvd_tpu.providers.media import (
     VideoReader,
     content_key,
     device_frames_for,
-    shared_landmarks,
+    shared_landmarks_pose,
 )
 from fvd_tpu.runtime.debug import dump_node_debug
 from fvd_tpu.runtime.tracer import get_tracer
@@ -109,37 +109,45 @@ def run(
             if chunk is None:
                 break
             frames, kept_ids = chunk
-            # Shared with V3's identical forward over the same sampled frames.
+            # Shared with V3's identical forward over the same sampled
+            # frames; the fused program also yields per-detection poses
+            # (device-derived crop boxes), collapsing the landmark-fetch ->
+            # host-track -> pose-dispatch round trip.
             with tracer.span("v4/landmark_fwd"):
                 dev = (device_frames_for(video_path, kept_ids, frames)
                        if getattr(providers.landmarks, "accepts_device_frames", False)
                        else None)
-                all_landmarks = shared_landmarks(video_path, kept_ids,
-                                                 providers.landmarks, frames, dev)
+                all_landmarks, fused_poses = shared_landmarks_pose(
+                    video_path, kept_ids, providers.landmarks, frames, dev,
+                    pose_pad=cfg.pose_crop_pad_frac)
 
             T = len(kept_ids)
             with tracer.span("v4/track"):
-                times, raw_track, valid, crop_boxes = track_chunk(
+                times, raw_track, valid, crop_boxes, sel = track_chunk(
                     all_landmarks, kept_ids, fps, tracker,
                     n_pts=n_pts, dim=dim, collect_boxes=True,  # boxes pre-padded
-                    processed=processed,
+                    collect_sel=True, processed=processed,
                 )
 
-            # Pose: ONE batched forward per chunk (v4:267-287); with the
-            # HBM-resident tensor the crops are gathered on device (zero
-            # crop bytes over the host link).
+            # Pose: fused rows when available, else ONE batched forward per
+            # chunk (v4:267-287); with the HBM-resident tensor the crops are
+            # gathered on device (zero crop bytes over the host link).
             raw_pose = np.zeros((T, 3), np.float64)
             pose_valid = np.zeros(T, bool)
             pose_boxes_fn = (getattr(providers.landmarks, "pose_boxes_batch", None)
                              if dev is not None else None)
             with tracer.span("v4/pose_fwd"):
                 boxes, crops, usable = [], [], []
+                poses: Any = []
                 for i in range(T):
                     if valid[i] and crop_boxes[i] is not None:
                         x1, y1, x2, y2 = crop_boxes[i]
                         if x2 <= x1 or y2 <= y1:
                             continue
-                        if pose_boxes_fn is not None:
+                        if fused_poses is not None and sel[i] >= 0:
+                            raw_pose[i] = fused_poses[i][sel[i]]
+                            pose_valid[i] = True
+                        elif pose_boxes_fn is not None:
                             boxes.append((x1, y1, x2, y2))
                             usable.append(i)
                         else:
@@ -151,8 +159,6 @@ def run(
                     poses = np.asarray(pose_boxes_fn(dev, boxes, usable))
                 elif crops:
                     poses = np.asarray(providers.landmarks.pose_batch(np.stack(crops)))
-                else:
-                    poses = []
             for i, p in zip(usable, poses):
                 raw_pose[i] = p  # (pitch, yaw, roll)
                 pose_valid[i] = True

@@ -309,6 +309,24 @@ class CoalescingLandmarks:
         key = ("lm", _shape_hw(frames), device_frames is not None)
         return self._co.submit(key, n, (frames, device_frames)).result()
 
+    # -- fused landmark+pose stage ----------------------------------------
+    def landmarks_pose_batch(self, frames: np.ndarray, device_frames=None,
+                             pose_pad: float = 0.0):
+        """Coalesced fused landmarks+pose (see the inner provider's
+        ``landmarks_pose_batch``): overlapped videos' chunks merge into ONE
+        crop+hourglass+pose program, removing the per-video pose dispatch
+        entirely."""
+        n = len(frames)
+        if n == 0:
+            return [], []
+        if device_frames is None or not self.accepts_device_frames:
+            inner_fn = getattr(self.inner, "landmarks_pose_batch", None)
+            if inner_fn is None:
+                return self.landmarks_batch(frames), None
+            return inner_fn(frames, device_frames=None, pose_pad=pose_pad)
+        key = ("lmpose", _shape_hw(frames), float(pose_pad))
+        return self._co.submit(key, n, (frames, device_frames)).result()
+
     # -- pose stage --------------------------------------------------------
     def pose_boxes_batch(self, device_frames, boxes, owners) -> np.ndarray:
         if len(boxes) == 0:
@@ -325,7 +343,26 @@ class CoalescingLandmarks:
     def _run_group(self, key: tuple, payloads: List[Any]) -> List[Any]:
         if key[0] == "lm":
             return self._run_lm(key, payloads)
+        if key[0] == "lmpose":
+            return self._run_lmpose(key, payloads)
         return self._run_pose(key, payloads)
+
+    def _run_lmpose(self, key: tuple, payloads: List[Any]) -> List[Any]:
+        _, (h, w), pose_pad = key
+        lengths = [int(len(f)) for f, _ in payloads]
+        total = sum(lengths)
+        pad_to = _pad_target(total, self.bucket_frames)
+        dev = _concat_pad_device([d for _, d in payloads], pad_to)
+        proxy = np.broadcast_to(np.zeros((1, h, w, 3), np.uint8),
+                                (pad_to, h, w, 3))
+        lm_all, pose_all = self.inner.landmarks_pose_batch(
+            proxy, device_frames=dev, pose_pad=pose_pad)
+        out, o = [], 0
+        for n in lengths:
+            out.append((lm_all[o:o + n],
+                        None if pose_all is None else pose_all[o:o + n]))
+            o += n
+        return out
 
     def _run_lm(self, key: tuple, payloads: List[Any]) -> List[Any]:
         _, (h, w), has_dev = key

@@ -217,7 +217,17 @@ class _LandmarkShare:
         self.max_entries = max_entries
 
     def get(self, path: str, ids: Sequence[int], provider, frames: np.ndarray,
-            device_frames=None):
+            device_frames=None, pose_pad=None):
+        """Returns ``(lm_lists, pose_lists_or_None, entry_pad)``.
+
+        When ``pose_pad`` is given and the provider supports the fused
+        landmark+pose program, the shared forward computes BOTH in one
+        dispatch (V3 discards the poses; V4 consumes them, skipping its
+        separate pose dispatch).  ``entry_pad`` tells a pose consumer which
+        pad the cached poses were computed with (a mismatched request falls
+        back to its own pose dispatch — in practice V3/V4/streaming all pass
+        ``cfg.pose_crop_pad_frac``, so one entry serves everyone).
+        """
         # full ids in the key (same first/last/len with different interiors
         # must not collide); the cached entry keeps a strong ref to the
         # provider so a recycled id() can never alias a dead provider's
@@ -231,13 +241,23 @@ class _LandmarkShare:
             with self._global:
                 if key in self._results:
                     return self._results[key][1]
+            fused = (pose_pad is not None
+                     and device_frames is not None
+                     and hasattr(provider, "landmarks_pose_batch")
+                     and not os.environ.get("FVD_TPU_NO_FUSED_POSE"))
             # Signature-probe (not try/except TypeError: a coalesced group
             # forward can legitimately raise TypeError for dtype/shape
             # errors, which must propagate, not silently retry host-side).
-            if _accepts_device_frames_kwarg(provider):
-                result = provider.landmarks_batch(frames, device_frames=device_frames)
+            if fused:
+                lm, poses = provider.landmarks_pose_batch(
+                    frames, device_frames=device_frames,
+                    pose_pad=float(pose_pad))
+                result = (lm, poses, float(pose_pad))
+            elif _accepts_device_frames_kwarg(provider):
+                result = (provider.landmarks_batch(
+                    frames, device_frames=device_frames), None, None)
             else:
-                result = provider.landmarks_batch(frames)
+                result = (provider.landmarks_batch(frames), None, None)
             with self._global:
                 self._results[key] = (provider, result)
                 self._order.append(key)
@@ -329,12 +349,33 @@ def device_frames_for(path: str, ids: Sequence[int], frames_host=None):
 
 
 def shared_landmarks(path: str, ids: Sequence[int], provider, frames: np.ndarray,
-                     device_frames=None):
+                     device_frames=None, pose_pad=None):
     """Landmark forward for ``frames`` (sampled ``ids`` of ``path``), shared
-    across concurrently-running nodes."""
+    across concurrently-running nodes.  Pass ``pose_pad`` (the V4 tracker's
+    crop pad) so the shared program also computes per-detection poses in the
+    same dispatch when the provider supports it — a landmarks-only caller
+    that passes it makes the shared entry reusable by V4."""
     if len(ids) == 0:
         return []
-    return _landmark_share.get(path, ids, provider, frames, device_frames)
+    return _landmark_share.get(path, ids, provider, frames, device_frames,
+                               pose_pad)[0]
+
+
+def shared_landmarks_pose(path: str, ids: Sequence[int], provider,
+                          frames: np.ndarray, device_frames=None,
+                          pose_pad: float = 0.0):
+    """Like :func:`shared_landmarks` but returns ``(lm_lists, pose_lists)``;
+    ``pose_lists`` is None when the fused program is unavailable (host-crop
+    provider, FVD_TPU_NO_FUSED_POSE, no device frames) or when the cached
+    entry was computed with a different pad — the caller then runs its own
+    pose dispatch."""
+    if len(ids) == 0:
+        return [], None
+    lm, poses, entry_pad = _landmark_share.get(
+        path, ids, provider, frames, device_frames, pose_pad)
+    if poses is not None and entry_pad == float(pose_pad):
+        return lm, poses
+    return lm, None
 
 
 def cached_keyframe_images(paths: Sequence[str]) -> List[Optional[np.ndarray]]:

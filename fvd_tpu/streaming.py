@@ -166,7 +166,8 @@ class ProgressiveAnalyzer:
                    if getattr(providers.landmarks, "accepts_device_frames", False)
                    else None)
             all_landmarks = shared_landmarks(self.video_path, kept_ids,
-                                             providers.landmarks, frames, dev)
+                                             providers.landmarks, frames, dev,
+                                             pose_pad=cfg.pose_crop_pad_frac)
 
             # V3-style mouth track (feeds C1)
             times, raw, valid, _ = track_chunk(

@@ -54,6 +54,15 @@ class FakeDeviceLandmarks(FakeLandmarks):
             np.array([float(dev[o][0, 0, 0]), 0.0, 0.0]) for o in owners
         ])
 
+    def landmarks_pose_batch(self, frames, device_frames=None, pose_pad=0.0):
+        with self.lock:
+            self.calls.append(len(frames))
+        assert device_frames is not None
+        dev = np.asarray(device_frames)
+        lm = [[np.full((68, 2), float(d[0, 0, 0]))] for d in dev]
+        poses = [[np.array([float(d[0, 0, 0]), pose_pad, 0.0])] for d in dev]
+        return lm, poses
+
 
 class FakeDetector:
     model_name = "fake_det"
@@ -135,6 +144,53 @@ def test_landmarks_coalesce_device_path_and_pose_offsets():
         assert pa.shape == (2, 3) and pb.shape == (3, 3)
         assert all(p[0] == 5.0 for p in pa)
         assert all(p[0] == 11.0 for p in pb)
+    finally:
+        co.close()
+
+
+def test_landmarks_pose_fused_stage_coalesces():
+    """Two videos' fused landmark+pose requests merge into ONE inner
+    dispatch; each caller gets its own slices of both outputs."""
+    inner = FakeDeviceLandmarks()
+    co = CoalescingLandmarks(inner, bucket_frames=32, max_wait_ms=80.0)
+    try:
+        import jax.numpy as jnp
+
+        host_a = np.full((4, 8, 8, 3), 5, np.uint8)
+        host_b = np.full((6, 8, 8, 3), 11, np.uint8)
+        dev_a = jnp.asarray(host_a)
+        dev_b = jnp.asarray(host_b)
+        (res_a, res_b), errs = _submit_concurrently([
+            lambda: co.landmarks_pose_batch(host_a, device_frames=dev_a,
+                                            pose_pad=0.1),
+            lambda: co.landmarks_pose_batch(host_b, device_frames=dev_b,
+                                            pose_pad=0.1),
+        ])
+        assert not errs
+        assert inner.calls == [32]  # 10 frames -> ONE group (ladder floor 32)
+        lm_a, pose_a = res_a
+        lm_b, pose_b = res_b
+        assert len(lm_a) == 4 and len(pose_a) == 4
+        assert len(lm_b) == 6 and len(pose_b) == 6
+        assert all(lm[0][0, 0] == 5.0 for lm in lm_a)
+        assert all(p[0][0] == 5.0 and p[0][1] == 0.1 for p in pose_a)
+        assert all(lm[0][0, 0] == 11.0 for lm in lm_b)
+        assert all(p[0][0] == 11.0 and p[0][1] == 0.1 for p in pose_b)
+    finally:
+        co.close()
+
+
+def test_landmarks_pose_fused_stage_host_fallback():
+    """Without device frames the fused stage degrades to landmarks-only
+    (pose None) so callers can run the two-stage path."""
+    inner = FakeLandmarks()
+    co = CoalescingLandmarks(inner, bucket_frames=32, max_wait_ms=20.0)
+    try:
+        frames = np.full((3, 8, 8, 3), 7, np.uint8)
+        lm, poses = co.landmarks_pose_batch(frames, device_frames=None,
+                                            pose_pad=0.1)
+        assert poses is None
+        assert len(lm) == 3
     finally:
         co.close()
 

@@ -196,3 +196,57 @@ def test_sample_survives_concurrent_eviction(video, monkeypatch):
     frames, kept = reader.sample(video, [0, 5, 10])
     assert kept == [0, 5, 10]
     assert frames.shape[0] == 3
+
+
+# ---------------------------------------------------------------------------
+# fused landmark+pose sharing
+# ---------------------------------------------------------------------------
+class _FusedProvider:
+    """Counts forwards; supports the fused landmark+pose program."""
+
+    model_name = "fused_fake"
+    accepts_device_frames = True
+
+    def __init__(self):
+        self.lm_calls = 0
+        self.fused_calls = 0
+
+    def landmarks_batch(self, frames, device_frames=None):
+        self.lm_calls += 1
+        return [[np.zeros((68, 2))] for _ in frames]
+
+    def landmarks_pose_batch(self, frames, device_frames=None, pose_pad=0.0):
+        self.fused_calls += 1
+        return ([[np.zeros((68, 2))] for _ in frames],
+                [[np.array([1.0, 2.0, pose_pad])] for _ in frames])
+
+
+def test_shared_landmarks_fused_entry_served_to_pose_consumer():
+    """V3's landmarks-only call (with pose_pad) computes the fused entry
+    ONCE; V4's pose-aware call reuses it — no second forward, no separate
+    pose dispatch."""
+    prov = _FusedProvider()
+    frames = np.zeros((3, 8, 8, 3), np.uint8)
+    dev = object()  # share only gates on "not None"
+    lm = media.shared_landmarks("vidA", [0, 1, 2], prov, frames, dev,
+                                pose_pad=0.1)
+    assert len(lm) == 3
+    lm2, poses = media.shared_landmarks_pose("vidA", [0, 1, 2], prov, frames,
+                                             dev, pose_pad=0.1)
+    assert poses is not None and poses[0][0][2] == 0.1
+    assert prov.fused_calls == 1 and prov.lm_calls == 0
+
+    # a pad mismatch must not serve stale poses
+    _, poses_mismatch = media.shared_landmarks_pose(
+        "vidA", [0, 1, 2], prov, frames, dev, pose_pad=0.25)
+    assert poses_mismatch is None
+
+
+def test_shared_landmarks_fused_disabled_by_env(monkeypatch):
+    monkeypatch.setenv("FVD_TPU_NO_FUSED_POSE", "1")
+    prov = _FusedProvider()
+    frames = np.zeros((2, 8, 8, 3), np.uint8)
+    lm2, poses = media.shared_landmarks_pose("vidB", [0, 1], prov, frames,
+                                             object(), pose_pad=0.1)
+    assert poses is None
+    assert prov.fused_calls == 0 and prov.lm_calls == 1

@@ -185,6 +185,60 @@ def test_fan_provider_maps_coords_back_to_frame():
     assert poses.shape == (3, 3)
 
 
+def test_fused_landmarks_pose_matches_two_stage():
+    """The fused landmark+pose program (device-derived crop boxes) must
+    reproduce the legacy flow: landmark fetch -> host tracker box (padded
+    landmark bbox, int truncation) -> pose_boxes_batch."""
+    from fvd_tpu.nodes._tracking import FaceTracker, TrackerConfig, track_chunk
+    from fvd_tpu.synthetic import SyntheticFaceDetector
+
+    prov = landmarks_fan.FANLandmarks(SyntheticFaceDetector(), width=16,
+                                      pose_width=16)
+    rng = np.random.RandomState(7)
+    frames = np.full((4, 120, 160, 3), 16, np.uint8)
+    for i in range(4):  # moving face so every frame's box differs
+        x0, y0 = 30 + 6 * i, 15 + 4 * i
+        frames[i, y0:y0 + 70, x0:x0 + 70] = 200
+        frames[i] += rng.randint(0, 8, frames[i].shape).astype(np.uint8)
+    dev = jnp.asarray(frames)
+    pad_frac = 0.1
+
+    # legacy two-stage path
+    lm = prov.landmarks_batch(frames, device_frames=dev)
+    tracker = FaceTracker(TrackerConfig(frame_width=160, frame_height=120,
+                                        aspect_gate=False, pad_frac=pad_frac))
+    _, _, valid, boxes, sel = track_chunk(
+        lm, list(range(4)), 5.0, tracker, n_pts=68, dim=3,
+        collect_boxes=True, collect_sel=True)
+    usable = [i for i in range(4) if valid[i] and boxes[i] is not None]
+    assert usable, "tracker should lock onto the synthetic face"
+    legacy = np.asarray(prov.pose_boxes_batch(
+        dev, [tuple(boxes[i]) for i in usable], usable))
+
+    # fused single-dispatch path
+    lm2, poses2 = prov.landmarks_pose_batch(frames, device_frames=dev,
+                                            pose_pad=pad_frac)
+    for per_a, per_b in zip(lm, lm2):
+        assert len(per_a) == len(per_b)
+        for a, b in zip(per_a, per_b):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+    for row, i in enumerate(usable):
+        np.testing.assert_allclose(poses2[i][sel[i]], legacy[row], atol=1e-3)
+
+
+def test_fused_landmarks_pose_host_fallback():
+    from fvd_tpu.synthetic import SyntheticFaceDetector
+
+    prov = landmarks_fan.FANLandmarks(SyntheticFaceDetector(), width=16,
+                                      pose_width=16)
+    frames = np.full((2, 120, 160, 3), 16, np.uint8)
+    frames[:, 20:90, 40:110] = 200
+    lm, poses = prov.landmarks_pose_batch(frames, device_frames=None,
+                                          pose_pad=0.1)
+    assert poses is None  # no HBM tensor -> caller uses the two-stage path
+    assert len(lm) == 2 and lm[0][0].shape == (68, 2)
+
+
 # ---------------------------------------------------------------------------
 # text / CLIP towers
 # ---------------------------------------------------------------------------
