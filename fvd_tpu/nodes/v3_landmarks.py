@@ -26,7 +26,8 @@ from fvd_tpu.nodes._tracking import (
     landmark_box,
     track_chunk,
 )
-from fvd_tpu.ops.filters import one_euro_init_carry, one_euro_scan_chunk
+from fvd_tpu.nodes._smooth import one_euro_scan_chunk_co
+from fvd_tpu.ops.filters import one_euro_init_carry
 from fvd_tpu.providers import Providers, get_providers
 from fvd_tpu.providers.media import (
     IncrementalVideoWriter,
@@ -126,7 +127,7 @@ def run(
 
             # Chunk-resumable OneEuro smoothing (v3:204-209 semantics).
             with tracer.span("v3/smooth"):
-                sm, carry = one_euro_scan_chunk(
+                sm, carry = one_euro_scan_chunk_co(
                     carry, times, raw_track, valid,
                     min_cutoff=cfg.landmark_min_cutoff, beta=cfg.landmark_beta,
                 )

@@ -22,7 +22,8 @@ import numpy as np
 
 from fvd_tpu.config import Config, default_config
 from fvd_tpu.nodes._tracking import FaceTracker, TrackerConfig, track_chunk
-from fvd_tpu.ops.filters import one_euro_init_carry, v4_smooth_chunk
+from fvd_tpu.nodes._smooth import v4_smooth_chunk_co
+from fvd_tpu.ops.filters import one_euro_init_carry
 from fvd_tpu.providers import Providers, get_providers
 from fvd_tpu.providers.media import (
     IncrementalVideoWriter,
@@ -165,7 +166,7 @@ def run(
 
             # Both smoothing scans + EAR, one chunk-resumable dispatch.
             with tracer.span("v4/smooth"):
-                sm_lm, sm_ears, sm_pose, lm_carry, pose_carry = v4_smooth_chunk(
+                sm_lm, sm_ears, sm_pose, lm_carry, pose_carry = v4_smooth_chunk_co(
                     lm_carry, pose_carry, times, raw_track, valid, raw_pose, pose_valid,
                     lm_min_cutoff=cfg.landmark_min_cutoff, lm_beta=cfg.landmark_beta,
                     pose_min_cutoff=cfg.pose_min_cutoff, pose_beta=cfg.pose_beta,

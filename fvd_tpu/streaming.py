@@ -34,11 +34,8 @@ from fvd_tpu.nodes import c1_lipsync
 from fvd_tpu.nodes._tracking import FaceTracker, TrackerConfig, track_chunk
 from fvd_tpu.nodes.lr_fusion import build_features, load_weights
 from fvd_tpu.ops import fusion
-from fvd_tpu.ops.filters import (
-    one_euro_init_carry,
-    one_euro_scan_chunk,
-    v4_smooth_chunk,
-)
+from fvd_tpu.nodes._smooth import one_euro_scan_chunk_co, v4_smooth_chunk_co
+from fvd_tpu.ops.filters import one_euro_init_carry
 from fvd_tpu.providers import Providers, get_providers
 from fvd_tpu.providers.media import (
     StreamingSampler,
@@ -174,7 +171,7 @@ class ProgressiveAnalyzer:
                 all_landmarks, kept_ids, fps, tracker_v3,
                 n_pts=68, dim=2, processed=processed,
             )
-            sm, carry = one_euro_scan_chunk(
+            sm, carry = one_euro_scan_chunk_co(
                 carry, times, raw, valid,
                 min_cutoff=cfg.landmark_min_cutoff, beta=cfg.landmark_beta,
             )
@@ -186,7 +183,7 @@ class ProgressiveAnalyzer:
                 all_landmarks, kept_ids, fps, tracker_v4,
                 n_pts=68, dim=3, processed=processed,
             )
-            _, sm_ears, _, lm4_carry, pose_carry = v4_smooth_chunk(
+            _, sm_ears, _, lm4_carry, pose_carry = v4_smooth_chunk_co(
                 lm4_carry, pose_carry, times, raw4, valid4,
                 np.zeros((T, 3)), np.zeros(T, bool),
                 lm_min_cutoff=cfg.landmark_min_cutoff, lm_beta=cfg.landmark_beta,

@@ -1,6 +1,8 @@
 """OneEuro scan vs stateful host filter, IoU, EAR, face tracking."""
 
 import numpy as np
+
+import jax
 import pytest
 
 from fvd_tpu.nodes._tracking import FaceTracker, TrackerConfig
@@ -139,3 +141,115 @@ def test_tracker_v4_pads_active_box():
 def test_tracker_empty_frame():
     tr = FaceTracker(CFG)
     assert tr.select([]) == -1
+
+
+# ---------------------------------------------------------------------------
+# coalesced smoothing dispatches
+# ---------------------------------------------------------------------------
+def test_coalesced_smoothing_matches_single_dispatch():
+    """Cross-video coalesced OneEuro/v4 smoothing (nodes/_smooth.py) must be
+    equal to the per-video dispatch within float32 ulp (vmap changes
+    XLA fusion), including the chunk carry and
+    the power-of-two time padding (valid=False rows keep the carry)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from fvd_tpu.nodes import _smooth
+    from fvd_tpu.ops.filters import (one_euro_init_carry, one_euro_scan_chunk,
+                                     v4_smooth_chunk)
+    from fvd_tpu.providers import coalesce
+
+    rng = np.random.RandomState(3)
+
+    def make_inputs(T, seed):
+        r = np.random.RandomState(seed)
+        times = np.cumsum(0.2 + 0.05 * r.rand(T))
+        lm = r.randn(T, 68, 3)
+        lv = r.rand(T) > 0.2
+        pose = r.randn(T, 3)
+        pv = r.rand(T) > 0.3
+        return times, lm, lv, pose, pv
+
+    vids = [make_inputs(11, 1), make_inputs(7, 2), make_inputs(11, 3)]
+    kw = dict(lm_min_cutoff=0.5, lm_beta=0.1, pose_min_cutoff=0.1,
+              pose_beta=0.1)
+
+    # reference: plain per-video dispatches (two chained chunks each to
+    # exercise the carry hand-off)
+    ref = []
+    for t, lm, lv, pose, pv in vids:
+        c1, c2 = one_euro_init_carry((68, 3)), one_euro_init_carry((3,))
+        a = v4_smooth_chunk(c1, c2, t[:5], lm[:5], lv[:5], pose[:5], pv[:5], **kw)
+        b = v4_smooth_chunk(a[3], a[4], t[5:], lm[5:], lv[5:], pose[5:], pv[5:], **kw)
+        ref.append((np.asarray(a[0]), np.asarray(b[0]),
+                    np.asarray(a[1]), np.asarray(b[1]),
+                    np.asarray(a[2]), np.asarray(b[2])))
+
+    deactivate = coalesce._activate_program_coalescer(max_wait_ms=60.0)
+    try:
+        assert coalesce.program_coalescing_active()
+
+        def run_video(args):
+            t, lm, lv, pose, pv = args
+            c1, c2 = one_euro_init_carry((68, 3)), one_euro_init_carry((3,))
+            a = _smooth.v4_smooth_chunk_co(c1, c2, t[:5], lm[:5], lv[:5],
+                                           pose[:5], pv[:5], **kw)
+            b = _smooth.v4_smooth_chunk_co(a[3], a[4], t[5:], lm[5:], lv[5:],
+                                           pose[5:], pv[5:], **kw)
+            return (np.asarray(a[0]), np.asarray(b[0]),
+                    np.asarray(a[1]), np.asarray(b[1]),
+                    np.asarray(a[2]), np.asarray(b[2]))
+
+        with ThreadPoolExecutor(3) as pool:
+            got = list(pool.map(run_video, vids))
+    finally:
+        deactivate()
+
+    for r, g in zip(ref, got):
+        for a, b in zip(r, g):
+            np.testing.assert_allclose(np.where(np.isnan(a), -1, a),
+                                       np.where(np.isnan(b), -1, b),
+                                       atol=1e-5, rtol=1e-5)
+
+
+def test_coalesced_one_euro_matches_single_dispatch():
+    from concurrent.futures import ThreadPoolExecutor
+
+    from fvd_tpu.nodes import _smooth
+    from fvd_tpu.ops.filters import one_euro_init_carry, one_euro_scan_chunk
+    from fvd_tpu.providers import coalesce
+
+    def make(T, seed):
+        r = np.random.RandomState(seed)
+        return (np.cumsum(0.2 + 0.05 * r.rand(T)), r.randn(T, 68, 2),
+                r.rand(T) > 0.2)
+
+    vids = [make(9, 10), make(13, 11)]
+    ref = []
+    for t, v, ok in vids:
+        out, c = one_euro_scan_chunk(one_euro_init_carry((68, 2)), t, v, ok,
+                                     min_cutoff=0.5, beta=0.1)
+        ref.append((np.asarray(out), jax.device_get(c)))
+
+    deactivate = coalesce._activate_program_coalescer(max_wait_ms=60.0)
+    try:
+        def run_one(args):
+            t, v, ok = args
+            out, c = _smooth.one_euro_scan_chunk_co(
+                one_euro_init_carry((68, 2)), t, v, ok,
+                min_cutoff=0.5, beta=0.1)
+            return np.asarray(out), jax.device_get(c)
+
+        with ThreadPoolExecutor(2) as pool:
+            got = list(pool.map(run_one, vids))
+    finally:
+        deactivate()
+
+    for (r_out, r_c), (g_out, g_c) in zip(ref, got):
+        np.testing.assert_allclose(np.where(np.isnan(r_out), -1, r_out),
+                                   np.where(np.isnan(g_out), -1, g_out),
+                                   atol=1e-5, rtol=1e-5)
+        for rc, gc in zip(jax.tree_util.tree_leaves(r_c),
+                          jax.tree_util.tree_leaves(g_c)):
+            np.testing.assert_allclose(np.asarray(rc, np.float32),
+                                       np.asarray(gc, np.float32),
+                                       atol=1e-5, rtol=1e-5)
