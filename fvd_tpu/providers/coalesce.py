@@ -319,11 +319,14 @@ class CoalescingLandmarks:
         n = len(frames)
         if n == 0:
             return [], []
+        inner_fn = getattr(self.inner, "landmarks_pose_batch", None)
         if device_frames is None or not self.accepts_device_frames:
-            inner_fn = getattr(self.inner, "landmarks_pose_batch", None)
             if inner_fn is None:
                 return self.landmarks_batch(frames), None
             return inner_fn(frames, device_frames=None, pose_pad=pose_pad)
+        if inner_fn is None:  # device inner without the fused program
+            return (self.landmarks_batch(frames, device_frames=device_frames),
+                    None)
         key = ("lmpose", _shape_hw(frames), float(pose_pad))
         return self._co.submit(key, n, (frames, device_frames)).result()
 
