@@ -241,10 +241,12 @@ def landmarks_pose_from_frames(lmk_params, pose_params, frames_dev, boxes,
     as two separate model calls per sampled frame, v4:131-135).  The box
     math replicates the host tracker exactly (``_tracking.landmark_box`` +
     V4's pad/clip, both int-truncation): frame-space points in float32 with
-    the same expression order, so min/max/trunc agree bit-for-bit.  The one
-    residual difference is the pad product ``(x_max - x_min) * pad_frac``
-    (host float64, device float32), which can shift a crop edge by 1 px when
-    the product lands exactly on an integer — paired-eval guarded.
+    the same expression order, so min/max/trunc agree bit-for-bit.  Two residual
+    divergence sources remain, each able to shift a crop edge by 1 px on
+    integer-boundary inputs: the pad product ``(x_max - x_min) * pad_frac``
+    (host float64, device float32) and possible XLA FMA contraction of the
+    ``x1 + c * (x2 - x1)`` expressions (single rounding vs numpy's two) —
+    paired-eval guarded.
     """
     coords = landmarks_from_frames.__wrapped__(
         lmk_params, frames_dev, boxes, owners, width=width,
@@ -277,6 +279,21 @@ def _pad_bucket(n: int) -> int:
     return b
 
 
+def _marshal_boxes(boxes, owners):
+    """(boxes, owners) lists -> bucket-padded f32/i32 arrays + real count.
+    Pad rows are the [0, 0, CROP_SIZE, CROP_SIZE] sentinel of owner 0 —
+    valid inputs whose outputs are sliced off.  ONE implementation shared
+    by every fused program entry so the pad contract can't drift."""
+    n = len(boxes)
+    pad = _pad_bucket(n)
+    boxes_arr = np.zeros((pad, 4), np.float32)
+    boxes_arr[:n] = np.asarray(boxes, np.float32)
+    boxes_arr[n:] = [0, 0, CROP_SIZE, CROP_SIZE]
+    owners_arr = np.zeros(pad, np.int32)
+    owners_arr[:n] = owners
+    return jnp.asarray(boxes_arr), jnp.asarray(owners_arr), n
+
+
 # ---------------------------------------------------------------------------
 # Provider wrapper: detector-guided landmarks over full frames
 # ---------------------------------------------------------------------------
@@ -304,6 +321,23 @@ class FANLandmarks:
         self.pose_width = pose_width
         self.detector_threshold = detector_threshold
 
+    def _collect_detections(self, detections, frame_w: int, frame_h: int):
+        """Apply the confidence / clip / min-size gate — the ONE
+        implementation of the detection filter shared by the legacy and
+        fused paths (their parity tests assume identical gating)."""
+        owners, boxes = [], []
+        for i, dets in enumerate(detections):
+            for d in dets:
+                if d.confidence < self.detector_threshold:
+                    continue
+                x1, y1 = max(0, int(d.x1)), max(0, int(d.y1))
+                x2, y2 = min(frame_w, int(d.x2)), min(frame_h, int(d.y2))
+                if x2 - x1 < 4 or y2 - y1 < 4:
+                    continue
+                owners.append(i)
+                boxes.append((x1, y1, x2, y2))
+        return owners, boxes
+
     def landmarks_batch(self, frames: np.ndarray,
                         device_frames=None) -> List[List[np.ndarray]]:
         """``device_frames``: HBM-resident copy of ``frames`` — the detector
@@ -314,35 +348,18 @@ class FANLandmarks:
 
         detections = self.face_detector.detect_batch(
             frames if device_frames is None else device_frames)
-        owners, boxes = [], []
-        for i, (frame, dets) in enumerate(zip(frames, detections)):
-            h, w = frame.shape[:2]
-            for d in dets:
-                if d.confidence < self.detector_threshold:
-                    continue
-                x1, y1 = max(0, int(d.x1)), max(0, int(d.y1))
-                x2, y2 = min(w, int(d.x2)), min(h, int(d.y2))
-                if x2 - x1 < 4 or y2 - y1 < 4:
-                    continue
-                owners.append(i)
-                boxes.append((x1, y1, x2, y2))
+        h, w = frames.shape[1:3]
+        owners, boxes = self._collect_detections(detections, w, h)
         out: List[List[np.ndarray]] = [[] for _ in range(len(frames))]
         if not boxes:
             return out
         if device_frames is not None:
             # crops gathered on device from the HBM-resident tensor: zero
             # crop bytes over the host link
-            n = len(boxes)
-            pad = _pad_bucket(n)
-            boxes_arr = np.zeros((pad, 4), np.float32)
-            boxes_arr[:n] = np.asarray(boxes, np.float32)
-            boxes_arr[n:] = [0, 0, CROP_SIZE, CROP_SIZE]
-            owners_arr = np.zeros(pad, np.int32)
-            owners_arr[:n] = owners
+            boxes_arr, owners_arr, n = _marshal_boxes(boxes, owners)
             coords = np.asarray(
                 landmarks_from_frames(self.landmark_params, device_frames,
-                                      jnp.asarray(boxes_arr),
-                                      jnp.asarray(owners_arr), width=self.width)
+                                      boxes_arr, owners_arr, width=self.width)
             )[:n]
         else:
             from fvd_tpu.parallel.inference import shard_for_inference
@@ -378,31 +395,15 @@ class FANLandmarks:
             return self.landmarks_batch(frames), None
         detections = self.face_detector.detect_batch(device_frames)
         h, w = frames.shape[1:3]
-        owners, boxes = [], []
-        for i, dets in enumerate(detections):
-            for d in dets:
-                if d.confidence < self.detector_threshold:
-                    continue
-                x1, y1 = max(0, int(d.x1)), max(0, int(d.y1))
-                x2, y2 = min(w, int(d.x2)), min(h, int(d.y2))
-                if x2 - x1 < 4 or y2 - y1 < 4:
-                    continue
-                owners.append(i)
-                boxes.append((x1, y1, x2, y2))
+        owners, boxes = self._collect_detections(detections, w, h)
         out_lm: List[List[np.ndarray]] = [[] for _ in range(len(frames))]
         out_pose: List[List[np.ndarray]] = [[] for _ in range(len(frames))]
         if not boxes:
             return out_lm, out_pose
-        n = len(boxes)
-        pad = _pad_bucket(n)
-        boxes_arr = np.zeros((pad, 4), np.float32)
-        boxes_arr[:n] = np.asarray(boxes, np.float32)
-        boxes_arr[n:] = [0, 0, CROP_SIZE, CROP_SIZE]
-        owners_arr = np.zeros(pad, np.int32)
-        owners_arr[:n] = owners
+        boxes_arr, owners_arr, n = _marshal_boxes(boxes, owners)
         coords, poses = jax.device_get(landmarks_pose_from_frames(
             self.landmark_params, self.pose_params, device_frames,
-            jnp.asarray(boxes_arr), jnp.asarray(owners_arr),
+            boxes_arr, owners_arr,
             float(w), float(h), float(pose_pad),
             width=self.width, pose_width=self.pose_width))
         coords = coords[:n]
@@ -428,19 +429,12 @@ class FANLandmarks:
     def pose_boxes_batch(self, device_frames, boxes, owners) -> np.ndarray:
         """Pose for ``boxes`` (px) of ``owners`` rows of the device frame
         tensor — crop + forward fused on device."""
-        n = len(boxes)
-        if n == 0:
+        if len(boxes) == 0:
             return np.zeros((0, 3))
-        pad = _pad_bucket(n)
-        boxes_arr = np.zeros((pad, 4), np.float32)
-        boxes_arr[:n] = np.asarray(boxes, np.float32)
-        boxes_arr[n:] = [0, 0, CROP_SIZE, CROP_SIZE]
-        owners_arr = np.zeros(pad, np.int32)
-        owners_arr[:n] = owners
+        boxes_arr, owners_arr, n = _marshal_boxes(boxes, owners)
         return np.asarray(
             pose_from_frames(self.pose_params, device_frames,
-                             jnp.asarray(boxes_arr), jnp.asarray(owners_arr),
-                             width=self.pose_width)
+                             boxes_arr, owners_arr, width=self.pose_width)
         )[:n]
 
 

@@ -30,14 +30,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from fvd_tpu.models.landmarks_fan import _pad_bucket as _bucket
 from fvd_tpu.ops.filters import one_euro_scan_chunk, v4_smooth_chunk
-
-
-def _bucket(n: int) -> int:
-    b = 8
-    while b < n:
-        b *= 2
-    return b
 
 
 # compiled vmapped programs, one per static-parameter set

@@ -232,7 +232,7 @@ class _LandmarkShare:
         # must not collide); the cached entry keeps a strong ref to the
         # provider so a recycled id() can never alias a dead provider's
         # results
-        key = (path, id(provider), hash(tuple(int(i) for i in ids)), len(ids))
+        key = (path, id(provider), tuple(int(i) for i in ids))
         import threading
 
         with self._global:

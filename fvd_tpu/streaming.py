@@ -162,9 +162,10 @@ class ProgressiveAnalyzer:
             dev = (device_frames_for(self.video_path, kept_ids, frames)
                    if getattr(providers.landmarks, "accepts_device_frames", False)
                    else None)
+            # NOTE: no pose_pad here — --stream has no V4 consumer, so the
+            # fused landmark+pose program would compute poses nobody reads.
             all_landmarks = shared_landmarks(self.video_path, kept_ids,
-                                             providers.landmarks, frames, dev,
-                                             pose_pad=cfg.pose_crop_pad_frac)
+                                             providers.landmarks, frames, dev)
 
             # V3-style mouth track (feeds C1)
             times, raw, valid, _ = track_chunk(
