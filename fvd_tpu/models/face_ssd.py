@@ -176,8 +176,9 @@ class SSDFaceDetector:
             self.params, shard_for_inference(frames),
             width=self.width, max_out=self.max_out
         )
-        boxes = np.asarray(boxes)
-        scores = np.asarray(scores)
+        import jax
+
+        boxes, scores = jax.device_get((boxes, scores))  # ONE host fetch
         out: List[List[FaceBox]] = []
         for bb, ss in zip(boxes, scores):
             dets = [

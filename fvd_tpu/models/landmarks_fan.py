@@ -19,6 +19,7 @@ tests/test_models.py prove trainability.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List
 
@@ -270,6 +271,58 @@ def landmarks_pose_from_frames(lmk_params, pose_params, frames_dev, boxes,
     return coords, pose
 
 
+@partial(jax.jit, static_argnames=("det_width", "det_max_out", "k_slots",
+                                   "width", "pose_width", "compute_dtype"))
+def detlm_pose_from_frames(det_params, lmk_params, pose_params, frames_dev,
+                           frame_w, frame_h, det_threshold, pad_frac,
+                           det_width: int = 32, det_max_out: int = 32,
+                           k_slots: int = 2, width: int = 64,
+                           pose_width: int = 32,
+                           compute_dtype=jnp.bfloat16):
+    """CHAINED detector -> crop -> landmarks -> pose: one device program,
+    one host fetch (opt-in, ``FVD_TPU_FUSED_DETLM=1``).
+
+    The un-chained path fetches the detector output to the host to build
+    crop boxes before dispatching the landmark program — a full round trip
+    between two dispatches, per coalesced group.  Here the host gate
+    (``FANLandmarks._collect_detections``: confidence >= threshold, int
+    truncation, clip to frame, >= 4 px) is replicated on device over the
+    top ``k_slots`` NMS outputs per frame (NMS is score-sorted), and the
+    landmark/pose forwards consume the resulting boxes directly.  Slots
+    beyond ``k_slots`` valid detections per frame are dropped — the only
+    semantic difference from the un-chained path (irrelevant for the
+    single-face tracker pipeline; the cap is the price of static shapes).
+
+    Returns ``(det_boxes [T, K, 4] f32 int-valued, scores [T, K],
+    valid [T, K] bool, coords [T*K, 68, 2], poses [T*K, 3])`` — row
+    ``i * K + k`` of coords/poses belongs to slot ``k`` of frame ``i``.
+    """
+    from fvd_tpu.models import face_ssd
+
+    boxes_n, scores = face_ssd.detect_batch_jit.__wrapped__(
+        det_params, frames_dev, width=det_width, max_out=det_max_out,
+        compute_dtype=compute_dtype)
+    T = frames_dev.shape[0]
+    kb = boxes_n[:, :k_slots, :]                       # [T, K, 4] normalized
+    ks = scores[:, :k_slots]                           # [T, K]
+    w32, h32 = jnp.float32(frame_w), jnp.float32(frame_h)
+    # the host gate's exact arithmetic: px floats -> int trunc -> clip
+    x1 = jnp.maximum(0.0, jnp.trunc(kb[..., 0] * w32))
+    y1 = jnp.maximum(0.0, jnp.trunc(kb[..., 1] * h32))
+    x2 = jnp.minimum(w32, jnp.trunc(kb[..., 2] * w32))
+    y2 = jnp.minimum(h32, jnp.trunc(kb[..., 3] * h32))
+    valid = ((ks > 0.0) & (ks >= det_threshold)
+             & (x2 - x1 >= 4) & (y2 - y1 >= 4))
+    det_boxes = jnp.stack([x1, y1, x2, y2], axis=-1)   # [T, K, 4]
+    flat_boxes = det_boxes.reshape(T * k_slots, 4)
+    flat_owners = jnp.repeat(jnp.arange(T, dtype=jnp.int32), k_slots)
+    coords, poses = landmarks_pose_from_frames.__wrapped__(
+        lmk_params, pose_params, frames_dev, flat_boxes, flat_owners,
+        frame_w, frame_h, pad_frac, width=width, pose_width=pose_width,
+        compute_dtype=compute_dtype)
+    return det_boxes, ks, valid, coords, poses
+
+
 def _pad_bucket(n: int) -> int:
     """Static shape bucket (next power of two, >= 8) so varying face counts
     don't recompile the fused programs."""
@@ -393,8 +446,12 @@ class FANLandmarks:
         """
         if device_frames is None:
             return self.landmarks_batch(frames), None
-        detections = self.face_detector.detect_batch(device_frames)
         h, w = frames.shape[1:3]
+        if (os.environ.get("FVD_TPU_FUSED_DETLM")
+                and hasattr(self.face_detector, "params")):
+            return self._landmarks_pose_chained(frames, device_frames,
+                                                pose_pad, w, h)
+        detections = self.face_detector.detect_batch(device_frames)
         owners, boxes = self._collect_detections(detections, w, h)
         out_lm: List[List[np.ndarray]] = [[] for _ in range(len(frames))]
         out_pose: List[List[np.ndarray]] = [[] for _ in range(len(frames))]
@@ -414,6 +471,40 @@ class FANLandmarks:
             )
             out_lm[owner].append(pts)
             out_pose[owner].append(p)
+        return out_lm, out_pose
+
+    #: detections per frame the chained det->lm->pose program carries
+    #: (static slot count; see detlm_pose_from_frames)
+    chained_k_slots = 2
+
+    def _landmarks_pose_chained(self, frames, device_frames, pose_pad, w, h):
+        """Opt-in single-fetch path (FVD_TPU_FUSED_DETLM=1): detector,
+        slot gate, crops, landmarks and pose all in one chained program —
+        no host round trip between the detector and landmark dispatches.
+        Caps detections at ``chained_k_slots`` per frame."""
+        det = self.face_detector
+        K = self.chained_k_slots
+        det_boxes, scores, valid, coords, poses = jax.device_get(
+            detlm_pose_from_frames(
+                det.params, self.landmark_params, self.pose_params,
+                device_frames, float(w), float(h),
+                float(self.detector_threshold), float(pose_pad),
+                det_width=det.width, det_max_out=det.max_out, k_slots=K,
+                width=self.width, pose_width=self.pose_width))
+        T = len(frames)
+        out_lm: List[List[np.ndarray]] = [[] for _ in range(T)]
+        out_pose: List[List[np.ndarray]] = [[] for _ in range(T)]
+        for i in range(T):
+            for k in range(K):
+                if not valid[i, k]:
+                    continue
+                x1, y1, x2, y2 = det_boxes[i, k]
+                c = coords[i * K + k]
+                pts = np.stack(
+                    [x1 + c[:, 0] * (x2 - x1), y1 + c[:, 1] * (y2 - y1)],
+                    axis=1)
+                out_lm[i].append(pts)
+                out_pose[i].append(poses[i * K + k])
         return out_lm, out_pose
 
     def pose_batch(self, crops: np.ndarray) -> np.ndarray:

@@ -499,3 +499,39 @@ def test_clip_heldout_scene_discrimination():
         total += 1
         ok += int(a > b)
     assert ok >= 7, f"held-out CLIP discrimination {ok}/{total}"
+
+
+def test_chained_detlm_matches_unchained(monkeypatch):
+    """FVD_TPU_FUSED_DETLM: the chained det->lm->pose single-fetch program
+    must reproduce the un-chained fused path exactly (single-face frames,
+    detections <= chained_k_slots)."""
+    from fvd_tpu.models import face_ssd
+
+    det = face_ssd.SSDFaceDetector(width=16, max_out=8)
+    prov = landmarks_fan.FANLandmarks(det, width=16, pose_width=16,
+                                      detector_threshold=0.05)
+    # random-weight detector: many low-score detections per frame — carry
+    # them ALL in the chained slots so the two paths see identical lists
+    prov.chained_k_slots = 8
+    rng = np.random.RandomState(11)
+    frames = np.full((3, 120, 160, 3), 30, np.uint8)
+    for i in range(3):
+        x0, y0 = 35 + 8 * i, 18 + 5 * i
+        frames[i, y0:y0 + 72, x0:x0 + 64] = 205
+        frames[i] += rng.randint(0, 6, frames[i].shape).astype(np.uint8)
+    dev = jnp.asarray(frames)
+
+    monkeypatch.delenv("FVD_TPU_FUSED_DETLM", raising=False)
+    lm_a, pose_a = prov.landmarks_pose_batch(frames, device_frames=dev,
+                                             pose_pad=0.1)
+    monkeypatch.setenv("FVD_TPU_FUSED_DETLM", "1")
+    lm_b, pose_b = prov.landmarks_pose_batch(frames, device_frames=dev,
+                                             pose_pad=0.1)
+
+    assert [len(x) for x in lm_a] == [len(x) for x in lm_b]
+    for per_a, per_b in zip(lm_a, lm_b):
+        for a, b in zip(per_a, per_b):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+    for per_a, per_b in zip(pose_a, pose_b):
+        for a, b in zip(per_a, per_b):
+            np.testing.assert_allclose(a, b, atol=1e-3)
