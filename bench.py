@@ -54,13 +54,15 @@ def _devices_or_reexec():
     The tunneled TPU backend has been observed down for stretches
     (`UNAVAILABLE: TPU backend setup/compile error`); a failed init can
     stick for the process lifetime, so retry with a fresh process.  Bounded
-    by FVD_TPU_BENCH_RETRIES (default 6 x 120 s ~ 12 min of patience)."""
+    by FVD_TPU_BENCH_RETRIES (default 20 x 120 s ~ 40 min of patience —
+    tunnel outages measured in hours exist; if the driver's own timeout is
+    shorter it SIGTERMs us either way, so patience can only help)."""
     import jax
 
     try:
         return jax.devices()
     except RuntimeError as e:
-        left = int(os.environ.get("FVD_TPU_BENCH_RETRIES", "6"))
+        left = int(os.environ.get("FVD_TPU_BENCH_RETRIES", "20"))
         if left <= 0:
             raise
         log(f"bench: backend init failed ({e}); {left} retries left, "
