@@ -55,11 +55,12 @@ def test_sigterm_without_result_exits_nonzero():
     assert p.returncode == 1
 
 
-def test_backend_retry_reexecs_then_raises(monkeypatch):
+def test_backend_retry_reexecs_then_falls_back_to_cpu(monkeypatch):
     import types
 
     sys.path.insert(0, os.path.abspath(REPO))
     import bench
+    import fvd_tpu
 
     fake = types.ModuleType("jax")
 
@@ -69,6 +70,7 @@ def test_backend_retry_reexecs_then_raises(monkeypatch):
     fake.devices = boom
     monkeypatch.setitem(sys.modules, "jax", fake)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "_META", {})
     calls = []
     monkeypatch.setattr(bench.os, "execv", lambda exe, argv: calls.append(exe))
 
@@ -77,6 +79,12 @@ def test_backend_retry_reexecs_then_raises(monkeypatch):
     assert calls == [sys.executable]
     assert os.environ["FVD_TPU_BENCH_RETRIES"] == "1"
 
+    # retry budget exhausted -> honest CPU-backend fallback, tagged in the
+    # JSON meta (the driver's recorded number is the number)
     monkeypatch.setenv("FVD_TPU_BENCH_RETRIES", "0")
-    with pytest.raises(RuntimeError):
-        bench._devices_or_reexec()
+    forced = []
+    monkeypatch.setattr(fvd_tpu, "force_cpu", lambda: forced.append(1))
+    fake.devices = lambda: ["cpu0"] if forced else boom()
+    devs = bench._devices_or_reexec()
+    assert devs == ["cpu0"] and forced
+    assert bench._META["backend_note"] == "cpu-fallback-tpu-backend-down"
