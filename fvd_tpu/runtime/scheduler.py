@@ -22,6 +22,8 @@ yields events as they happen (the ``app.stream`` analog).
 from __future__ import annotations
 
 import asyncio
+import dataclasses
+import os
 import time
 import traceback
 from concurrent.futures import ThreadPoolExecutor
@@ -242,6 +244,16 @@ class Scheduler:
 
             for err in flush_artifacts(current.get("data_dir")):
                 print(f"Scheduler: WARNING - deferred artifact write failed: {err}")
+            # A failed deferred encode must not leave the final state
+            # advertising a viz file that never landed (nodes key validity
+            # on enqueue, not on the write itself).
+            scrub = {
+                f: None
+                for f in ("mouth_landmarks_viz_path", "headpose_viz_path")
+                if current.get(f) and not os.path.exists(current.get(f))
+            }
+            if scrub:
+                current = dataclasses.replace(current, **scrub)
 
         if failed and self.fail_fast:
             name, err = next(iter(failed.items()))

@@ -261,3 +261,17 @@ def test_full_graph_has_no_write_conflicts():
         assert sched.conflicts == []
     finally:
         os.chdir(cwd)
+
+
+def test_scheduler_scrubs_dead_viz_paths(tmp_path):
+    """A viz path whose deferred encode never landed is nulled in the final
+    state; one that exists on disk is preserved."""
+    live = tmp_path / "landmarks_viz.mp4"
+    live.write_bytes(b"x")
+    dag = DAG()
+    dag.add_node("V3", lambda s: {"mouth_landmarks_viz_path": str(live)})
+    dag.add_node("V4", lambda s: {
+        "headpose_viz_path": str(tmp_path / "never_written.mp4")})
+    final = Scheduler(dag).invoke(State(input_path="x"))
+    assert final.mouth_landmarks_viz_path == str(live)
+    assert final.headpose_viz_path is None
