@@ -124,6 +124,13 @@ def main() -> None:
     # wasted FLOPs for fewer round trips — the right trade behind a tunnel,
     # the wrong one when compute is the bottleneck).
     cpu_backend = jax.default_backend() == "cpu"
+    if cpu_backend:
+        # Really skip the coalescer: run_pipeline_many re-wraps providers
+        # whenever concurrency > 1, so skipping the explicit wrap below is
+        # not enough — the env lever (coalesce.py) makes that inner wrap a
+        # no-op and also disables the per-video ops-program coalescer.
+        # Set before warmup so warmup compiles the shapes the passes use.
+        os.environ["FVD_TPU_NO_COALESCE"] = "1"
     log(f"backend: {jax.default_backend()} devices: {devices}")
     if len(jax.devices()) > 1:
         # multi-chip: shard every coalesced model forward's batch dim over
@@ -242,6 +249,13 @@ def main() -> None:
     best_counts = {}
     best_cpu = {}
     no_improve = 0
+    pass_vpm: list = []  # every measured pass, so the JSON carries spread
+
+    def _median(xs):
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
     concurrency = 4 if cpu_backend else 8
     # CPU passes cost minutes each and do not swing with tunnel windows:
     # three passes bound the wall clock while still derisking a cold first
@@ -262,6 +276,11 @@ def main() -> None:
         log(f"  pass {attempt + 1}: {n_videos} videos in {elapsed:.2f}s "
             f"-> {elapsed / n_videos:.2f}s/video "
             f"(host CPU {host_cpu:.1f}s = {100 * host_cpu / elapsed:.0f}% of wall)")
+        pass_vpm.append(round(60.0 / (elapsed / n_videos), 2))
+        _RESULT.update({
+            "median_vpm": round(_median(pass_vpm), 2),
+            "pass_vpm": list(pass_vpm),
+        })
         if best is None or elapsed < best:
             best, best_spans = elapsed, tracer.summary()
             best_counts = tracer.counts()
@@ -292,6 +311,25 @@ def main() -> None:
             f"hostCPU {best_cpu.get(name, 0.0):5.2f}s "
             f"(sum over {n_videos} overlapped videos)")
     if not fixtures:
+        # Discrimination probe: the bench corpus is unlabeled, so the
+        # throughput number alone can't show the detector detects.  Score
+        # one in-sync clip (clip0, already analyzed) against one desync+
+        # texture fake (the labeled-corpus all-factors recipe) and carry
+        # both probabilities in the JSON.  Shapes match the warmed
+        # 30 s/30 fps programs, so this is one extra pipeline pass.
+        try:
+            fake = make_face_video(
+                "media", name="probe_fake", duration=duration, fps=fps,
+                width=320, height=240, seed=99,
+                speech_text=sentences[0], speech_renderer=renderer,
+                mouth_gate_hz=1.37, texture_noise=14.0)
+            p_fake = Scheduler(dag).invoke(State(input_path=fake)).fake_probability
+            probe = {"sync_p": round(float(probs[0]), 4),
+                     "desync_texture_p": round(float(p_fake), 4)}
+            _RESULT["probe"] = _META["probe"] = probe
+            log(f"discrimination probe: {probe}")
+        except Exception as e:  # the probe must never cost the headline
+            log(f"discrimination probe failed (non-fatal): {e}")
         _close_coalesce()  # join the coalescer threads before reporting
     per_video = best / n_videos
     videos_per_min = 60.0 / per_video
@@ -305,6 +343,8 @@ def main() -> None:
         "value": round(videos_per_min, 2),
         "unit": "videos/min",
         "vs_baseline": round(videos_per_min / 50.0, 3),
+        "median_vpm": round(_median(pass_vpm), 2),
+        "pass_vpm": pass_vpm,
         **_META,
     }))
 

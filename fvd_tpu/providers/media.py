@@ -864,10 +864,21 @@ class Downloader:
         if os.path.exists(cookies):
             opts["cookiefile"] = cookies
 
+        def escalate_oauth2() -> None:
+            # reference main.py:240-245: before the FINAL retry, switch
+            # yt-dlp to its OAuth2 device-code flow (username 'oauth2',
+            # empty password) so an age/region-gated download gets one
+            # authenticated attempt after cookie-based ones fail
+            print("IN: [ESCALATION] standard download failed; attempting "
+                  "OAuth2 authentication (watch for a device code)")
+            opts["username"] = "oauth2"
+            opts["password"] = ""
+
         @retry(
             attempts=self.retries,
             backoff_s=self.backoff_s,
             on_retry=lambda n, e: print(f"IN: download attempt {n} failed: {e}"),
+            escalate_on_last=escalate_oauth2,
         )
         def attempt() -> Tuple[str, dict]:  # pragma: no cover - network path
             with yt_dlp.YoutubeDL(opts) as ydl:

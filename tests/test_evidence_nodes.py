@@ -59,6 +59,80 @@ def test_heuristic_edu_and_subdomain_trust():
     )["score"] == pytest.approx(0.9)
 
 
+def test_e2_about_page_probe_enabled():
+    """The +0.1 about-page bonus with the probe ENABLED, against a local
+    http.server (reference e2_source_reliability.py:96-104 always probes;
+    here it is config-gated for the no-network sandbox — this exercises the
+    enabled path)."""
+    import http.server
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/about":
+                self.send_response(200)
+                self.send_header("Content-Length", "2")
+                self.end_headers()
+                self.wfile.write(b"ok")
+            else:
+                self.send_error(404)
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        cfg = dataclasses.replace(
+            FAST_CFG,
+            evidence=dataclasses.replace(
+                FAST_CFG.evidence, enable_about_page_probe=True
+            ),
+        )
+        # direct probe helper
+        assert e2_reliability.check_about_page(base + "/article") is True
+        # heuristic arithmetic: base 0.5 (http, unknown) + about 0.1
+        r = e2_reliability.heuristic_reliability(
+            base + "/article", TRUSTED, 0, config=cfg, probe_about=True)
+        assert r["score"] == pytest.approx(0.6)
+        assert any("About page" in d for d in r["details"])
+        # full node path with the probe config-enabled (NullLLM -> heuristic)
+        state = State(evidence=[
+            {"url": base + "/article", "claim_text": "c", "snippet": ""}])
+        delta = e2_reliability.run(state, cfg, Providers())
+        assert delta["evidence"][0]["reliability_score"] == pytest.approx(0.6)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_e2_about_page_probe_missing_page():
+    """No /about -> no bonus, probe failure swallowed (reference e2:96-104)."""
+    import http.server
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_error(404)
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        assert e2_reliability.check_about_page(base + "/x") is False
+        r = e2_reliability.heuristic_reliability(
+            base + "/x", TRUSTED, 0, probe_about=True)
+        assert r["score"] == pytest.approx(0.5)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_e2_llm_primary_path():
     llm = ScriptedLLM(default={"score": 0.85, "reason": "reputable"})
     providers = Providers(llm=llm)

@@ -86,6 +86,47 @@ def test_url_ingest_mocked_downloader(tmp_cwd, monkeypatch):
     assert any(f.endswith(".mp4") for f in os.listdir("videos"))
 
 
+def test_downloader_oauth2_escalation(tmp_cwd, monkeypatch):
+    """Reference main.py:240-245: after the cookie-based attempts fail, the
+    FINAL retry escalates to yt-dlp's OAuth2 device-code flow (username
+    'oauth2', empty password)."""
+    import sys
+    import types
+
+    from fvd_tpu.providers.media import Downloader
+
+    seen = []
+
+    class FakeYDL:
+        def __init__(self, opts):
+            seen.append(dict(opts))  # snapshot: escalation mutates in place
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def extract_info(self, url, download=True):
+            if len(seen) < 3:
+                raise RuntimeError("HTTP Error 403: Forbidden")
+            return {"title": "t", "duration": 1, "uploader": "u"}
+
+        def prepare_filename(self, info):
+            return os.path.join("dl", "video.mp4")
+
+    mod = types.ModuleType("yt_dlp")
+    mod.YoutubeDL = FakeYDL
+    monkeypatch.setitem(sys.modules, "yt_dlp", mod)
+
+    path, meta = Downloader(retries=3, backoff_s=0.0).download(
+        "https://example.com/watch?v=x", "dl")
+    assert path.endswith("video.mp4") and meta["title"] == "t"
+    assert len(seen) == 3
+    assert "username" not in seen[0] and "username" not in seen[1]
+    assert seen[2]["username"] == "oauth2" and seen[2]["password"] == ""
+
+
 def test_video_without_audio_track(tmp_cwd):
     # video only, no sibling wav
     from fvd_tpu.providers.media import write_video
