@@ -1,0 +1,203 @@
+"""Fabricate FULL-GEOMETRY HF checkpoints offline (random init).
+
+The reference's capability on arbitrary real media rests on pretrained
+checkpoints it auto-downloads: Whisper base (`a2_vad_asr.py:27-30`), CLIP
+ViT-B/32 (`c2_gesture_narration_check.py:49-54`), MiniLM-L6
+(`e1_web_evidence.py:334-347`).  This sandbox has no network, so the
+genuine *weights* cannot exist here — but the genuine *geometry* can:
+this tool instantiates the exact model configurations with random init,
+fabricates working tokenizer / feature-extractor assets at the exact
+vocabulary sizes (byte-level BPE for Whisper/CLIP, WordPiece for MiniLM),
+and saves everything in the same local-directory layout
+``tools/import_hf_weights.py`` produces.  Factory precedence
+(`providers/factory.py`), provider plumbing (`providers/hf_models.py`) and
+the node schemas then run at the real shapes, so genuine weights are
+plug-and-play the day network exists — drop them over these directories.
+
+    python tools/make_hf_geometry_checkpoints.py --out /tmp/hf_geom/hf
+
+NOTE: deliberately NOT written into ``checkpoints/hf`` by default — the
+factory gives the HF directory precedence over the first-party trained
+models, and random-init weights must never shadow trained ones in a
+production checkout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fabrication
+# ---------------------------------------------------------------------------
+def _bytelevel_bpe(vocab_size: int, specials: list) -> "object":
+    """A working byte-level BPE fast tokenizer with exactly ``vocab_size``
+    entries: specials first, the 256-char GPT-2 byte alphabet, then unique
+    filler tokens composed of alphabet chars (so ByteLevel decode of ANY id
+    is well-defined)."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers
+
+    alphabet = sorted(pre_tokenizers.ByteLevel.alphabet())
+    vocab = {}
+    for tok in specials:
+        vocab[tok] = len(vocab)
+    for ch in alphabet:
+        if ch not in vocab:
+            vocab[ch] = len(vocab)
+    i = 0
+    n = len(alphabet)
+    while len(vocab) < vocab_size:
+        a, b = divmod(i, n)
+        t = alphabet[a % n] + alphabet[b] + alphabet[(a // n) % n]
+        if t not in vocab:
+            vocab[t] = len(vocab)
+        i += 1
+    tok = Tokenizer(models.BPE(vocab=vocab, merges=[],
+                               unk_token=specials[0] if specials else None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    return tok
+
+
+def _wordpiece(vocab_size: int) -> "object":
+    """A working WordPiece fast tokenizer with the BERT special-token layout
+    ([PAD]=0, [UNK]=100, [CLS]=101, [SEP]=102, [MASK]=103 — the MiniLM
+    vocab positions) and a char-level fallback vocabulary."""
+    from tokenizers import Tokenizer, models, normalizers, pre_tokenizers, processors
+
+    vocab = {"[PAD]": 0}
+    for i in range(99):
+        vocab[f"[unused{i}]"] = len(vocab)
+    for s in ("[UNK]", "[CLS]", "[SEP]", "[MASK]"):
+        vocab[s] = len(vocab)
+    assert vocab["[UNK]"] == 100 and vocab["[CLS]"] == 101
+    chars = "abcdefghijklmnopqrstuvwxyz0123456789.,;:!?'\"-()[]{}"
+    for c in chars:
+        vocab[c] = len(vocab)
+    for c in chars:
+        vocab["##" + c] = len(vocab)
+    i = 0
+    while len(vocab) < vocab_size:
+        t = f"[fill{i}]"
+        vocab[t] = len(vocab)
+        i += 1
+    tok = Tokenizer(models.WordPiece(vocab=vocab, unk_token="[UNK]",
+                                     max_input_chars_per_word=100))
+    tok.normalizer = normalizers.BertNormalizer(lowercase=True)
+    tok.pre_tokenizer = pre_tokenizers.BertPreTokenizer()
+    tok.post_processor = processors.TemplateProcessing(
+        single="[CLS] $A [SEP]",
+        pair="[CLS] $A [SEP] $B:1 [SEP]:1",
+        special_tokens=[("[CLS]", vocab["[CLS]"]), ("[SEP]", vocab["[SEP]"])],
+    )
+    return tok
+
+
+# ---------------------------------------------------------------------------
+# model fabrication at the reference's exact geometries
+# ---------------------------------------------------------------------------
+def make_minilm(dest: str, seed: int = 0) -> None:
+    """all-MiniLM-L6-v2 geometry: 6-layer BERT, hidden 384, heads 12,
+    intermediate 1536, vocab 30522 (e1_web_evidence.py:334-347)."""
+    from transformers import BertConfig, BertTokenizerFast, FlaxBertModel
+
+    cfg = BertConfig(
+        vocab_size=30522, hidden_size=384, num_hidden_layers=6,
+        num_attention_heads=12, intermediate_size=1536,
+        max_position_embeddings=512,
+    )
+    model = FlaxBertModel(cfg, seed=seed)
+    tok = BertTokenizerFast(tokenizer_object=_wordpiece(cfg.vocab_size),
+                            unk_token="[UNK]", pad_token="[PAD]",
+                            cls_token="[CLS]", sep_token="[SEP]",
+                            mask_token="[MASK]", do_lower_case=True)
+    os.makedirs(dest, exist_ok=True)
+    model.save_pretrained(dest)
+    tok.save_pretrained(dest)
+
+
+def make_clip(dest: str, seed: int = 0) -> None:
+    """CLIP ViT-B/32 geometry — transformers' CLIPConfig *defaults* are
+    exactly openai/clip-vit-base-patch32: text 512x12 (vocab 49408, 77
+    positions), vision 768x12 patch 32 image 224, projection 512
+    (c2_gesture_narration_check.py:49-54)."""
+    from transformers import CLIPConfig, CLIPTokenizerFast, FlaxCLIPModel
+
+    from tokenizers import pre_tokenizers
+
+    cfg = CLIPConfig()
+    model = FlaxCLIPModel(cfg, seed=seed)
+    backend = _bytelevel_bpe(
+        cfg.text_config.vocab_size, ["<|endoftext|>", "<|startoftext|>"])
+    # CLIPTokenizerFast (>=4.17) requires a Sequence pre-tokenizer
+    backend.pre_tokenizer = pre_tokenizers.Sequence(
+        [pre_tokenizers.ByteLevel(add_prefix_space=False)])
+    tok = CLIPTokenizerFast(
+        tokenizer_object=backend,
+        unk_token="<|endoftext|>", bos_token="<|startoftext|>",
+        eos_token="<|endoftext|>", pad_token="<|endoftext|>")
+    os.makedirs(dest, exist_ok=True)
+    model.save_pretrained(dest)
+    tok.save_pretrained(dest)
+
+
+def make_whisper(dest: str, seed: int = 0) -> None:
+    """openai/whisper-base geometry: d_model 512, 6+6 layers, 8 heads,
+    ffn 2048, mel 80, vocab 51865, source 1500 / target 448 positions
+    (a2_vad_asr.py:27-30)."""
+    from transformers import (FlaxWhisperForConditionalGeneration,
+                              WhisperConfig, WhisperFeatureExtractor,
+                              WhisperTokenizerFast)
+
+    cfg = WhisperConfig(
+        vocab_size=51865, num_mel_bins=80, d_model=512,
+        encoder_layers=6, encoder_attention_heads=8, encoder_ffn_dim=2048,
+        decoder_layers=6, decoder_attention_heads=8, decoder_ffn_dim=2048,
+        max_source_positions=1500, max_target_positions=448,
+        pad_token_id=50257, bos_token_id=50257, eos_token_id=50257,
+        decoder_start_token_id=50258,
+        suppress_tokens=[], begin_suppress_tokens=[],
+    )
+    model = FlaxWhisperForConditionalGeneration(cfg, seed=seed)
+    fe = WhisperFeatureExtractor()  # defaults = whisper's mel frontend
+    tok = WhisperTokenizerFast(
+        tokenizer_object=_bytelevel_bpe(cfg.vocab_size, ["<|endoftext|>"]),
+        unk_token="<|endoftext|>", bos_token="<|endoftext|>",
+        eos_token="<|endoftext|>", pad_token="<|endoftext|>")
+    os.makedirs(dest, exist_ok=True)
+    model.save_pretrained(dest)
+    fe.save_pretrained(dest)
+    tok.save_pretrained(dest)
+
+
+MAKERS = {"minilm": make_minilm, "clip": make_clip, "whisper": make_whisper}
+
+
+def make_all(out_dir: str, kinds=("minilm", "clip", "whisper")) -> None:
+    for kind in kinds:
+        MAKERS[kind](os.path.join(out_dir, kind))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/hf_geom/hf",
+                    help="hf/ directory to create (factory expects "
+                         "<checkpoint_dir>/hf/{minilm,clip,whisper})")
+    ap.add_argument("--only", nargs="*", default=[], choices=list(MAKERS))
+    args = ap.parse_args()
+    kinds = args.only or list(MAKERS)
+    for kind in kinds:
+        print(f"[{kind}] fabricating full-geometry random-init checkpoint...")
+        MAKERS[kind](os.path.join(args.out, kind))
+        print(f"[{kind}] -> {os.path.join(args.out, kind)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
