@@ -106,9 +106,53 @@ def draw_face(
     return pts.astype(np.float32)
 
 
+def photometric_randomize(img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    """Photometric domain randomization (round-3 held-out lever): real
+    captures layer lighting gradients, white-balance shifts, motion blur,
+    sensor noise and codec artifacts on top of scene structure — none of
+    which move the gt box.  Randomizing them forces the detector onto
+    shape/configuration features instead of absolute brightness cues
+    (the data-realism lever VERDICT r2 prescribed for the stripes /
+    all-factors held-out cells)."""
+    import cv2
+
+    size_h, size_w = img.shape[:2]
+    out = img.astype(np.float32)
+    # directional lighting gradient (multiplicative shading ramp)
+    if rng.rand() < 0.7:
+        yy, xx = np.mgrid[0:size_h, 0:size_w].astype(np.float32)
+        th = rng.uniform(0, 2 * np.pi)
+        ramp = xx * np.cos(th) + yy * np.sin(th)
+        lo, hi = float(ramp.min()), float(ramp.max())
+        ramp = (ramp - lo) / max(hi - lo, 1e-6)
+        out = out * (1.0 - rng.uniform(0.0, 0.5) * ramp[..., None])
+    # white-balance channel gains
+    out = out * rng.uniform(0.85, 1.15, 3)[None, None]
+    # motion blur (directional box kernel)
+    if rng.rand() < 0.4:
+        k = int(rng.randint(3, 10))
+        kern = np.zeros((k, k), np.float32)
+        kern[k // 2, :] = 1.0
+        rot = cv2.getRotationMatrix2D((k / 2 - 0.5, k / 2 - 0.5),
+                                      float(rng.uniform(0, 180)), 1.0)
+        kern = cv2.warpAffine(kern, rot, (k, k))
+        kern /= max(float(kern.sum()), 1e-6)
+        out = cv2.filter2D(out, -1, kern)
+    # sensor noise
+    out = out + rng.randn(size_h, size_w, 3).astype(np.float32) * rng.uniform(0, 12)
+    img = np.clip(out, 0, 255).astype(np.uint8)
+    # JPEG codec artifacts
+    if rng.rand() < 0.5:
+        ok, enc = cv2.imencode(
+            ".jpg", img, [int(cv2.IMWRITE_JPEG_QUALITY), int(rng.randint(30, 92))])
+        if ok:
+            img = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+    return np.ascontiguousarray(img)
+
+
 def render_face(
     rng: np.random.RandomState, size: int = 300, aperture: float | None = None,
-    augment: bool = False, hard: bool = False,
+    augment: bool = False, hard: bool = False, photometric: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (image uint8 [size, size, 3], gt box [4] normalized corners,
     landmarks [68, 2] in pixels).
@@ -210,6 +254,8 @@ def render_face(
         gain = rng.uniform(0.7, 1.3)
         bias = rng.uniform(-25, 25)
         img = np.clip(img.astype(np.float32) * gain + bias, 0, 255).astype(np.uint8)
+        if photometric:
+            img = photometric_randomize(img, rng)
         # gt box: exact bbox of the ROTATED face ellipse — the same "whole
         # face" box convention as the unaugmented branch (a landmarks bbox
         # would clip the forehead and teach the detector two conflicting
@@ -228,11 +274,12 @@ def render_face(
 
 
 def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300,
-                   augment: bool = False):
+                   augment: bool = False, photometric: bool = False):
     """Training batch for the SSD: (frames float mean-sub, labels, loc
     targets) using fvd_tpu.ops.detection matching.  ``augment`` applies the
     robustness augmentations to half of each batch (a quarter in the dense
-    co-occurrence ``hard`` mode)."""
+    co-occurrence ``hard`` mode); ``photometric`` additionally domain-
+    randomizes lighting/noise/blur/codec on the augmented half."""
     from fvd_tpu.models.face_ssd import MEAN_RGB, anchors
     from fvd_tpu.ops import detection
 
@@ -243,7 +290,8 @@ def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300,
     boxes_out = []
     for i in range(batch):
         img, box, _ = render_face(rng, size, augment=augment and i % 2 == 0,
-                                  hard=augment and i % 4 == 0)
+                                  hard=augment and i % 4 == 0,
+                                  photometric=photometric and i % 2 == 0)
         frames[i] = img.astype(np.float32) - np.asarray(MEAN_RGB)
         lab, matched = detection.match_anchors(box[None], A)
         enc = np.array(detection.encode_boxes(matched, A))

@@ -218,7 +218,7 @@ def gated_speech(
     remaining window wait for the next one; text beyond the clip is
     dropped.
     """
-    if renderer == "formant":
+    if renderer.startswith("formant"):
         from fvd_tpu.models.synthetic_speech import PHONE_S, formant_speech
 
         char_s, render = PHONE_S, formant_speech

@@ -128,6 +128,29 @@ def test_formant_speech_synthesis_structure():
     assert np.array_equal(b, c)
 
 
+def test_formant_speech_hard_family():
+    """The round-3 harder family (rate variation, coarticulation
+    undershoot, F0 drift, reverb) keeps the trainer's contracts: same
+    duration budget as the base renderer (the mel window never overflows),
+    same normalization, deterministic per rng seed, and actually DIFFERENT
+    audio from the base family."""
+    from fvd_tpu.models.synthetic_speech import (PHONE_S, SR, formant_speech,
+                                                 formant_speech_hard)
+
+    for txt in ("hello world", "the river", "kxq zvt"):
+        a = formant_speech_hard(txt, np.random.RandomState(3), variability=1.0)
+        assert a.dtype == np.float32
+        assert len(a) <= int(PHONE_S * SR) * len(txt) + 1
+        assert 0.2 < np.abs(a).max() <= 0.5
+        assert np.all(np.isfinite(a))
+    b = formant_speech_hard("the mayor said", np.random.RandomState(5))
+    c = formant_speech_hard("the mayor said", np.random.RandomState(5))
+    assert np.array_equal(b, c)
+    base = formant_speech("the mayor said", np.random.RandomState(5))
+    n = min(len(b), len(base))
+    assert not np.allclose(b[:n], base[:n])
+
+
 @pytest.mark.skipif(not os.path.exists(CKPT), reason="no trained ASR checkpoint")
 def test_transcribe_coalesced_matches_sequential():
     """Two videos' ASR decodes coalesced into one device program must

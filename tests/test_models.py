@@ -87,6 +87,31 @@ def test_ssd_detect_batch_api():
             assert 0.0 <= d.confidence <= 1.0
 
 
+def test_photometric_domain_randomization():
+    """Round-3 data-realism lever: lighting/noise/blur/JPEG randomization
+    keeps image shape+dtype, is deterministic per rng seed, changes pixels,
+    and leaves the detector-batch contract intact."""
+    from fvd_tpu.models.synthetic_faces import (detector_batch,
+                                                photometric_randomize,
+                                                render_face)
+
+    rng = np.random.RandomState(0)
+    img, box, pts = render_face(rng, 300, augment=True, photometric=True)
+    assert img.shape == (300, 300, 3) and img.dtype == np.uint8
+    assert np.all((0.0 <= box) & (box <= 1.0)) and box[2] > box[0]
+
+    base = render_face(np.random.RandomState(1), 300, augment=True)[0]
+    a = photometric_randomize(base, np.random.RandomState(2))
+    b = photometric_randomize(base, np.random.RandomState(2))
+    assert a.shape == base.shape and a.dtype == np.uint8
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, base)
+
+    frames, labels, locs, boxes = detector_batch(
+        np.random.RandomState(3), 4, augment=True, photometric=True)
+    assert frames.shape[0] == 4 and np.all(np.isfinite(frames))
+
+
 def test_ssd_loss_decreases():
     rng = np.random.RandomState(0)
     params = face_ssd.init_params(jax.random.PRNGKey(0), width=8)

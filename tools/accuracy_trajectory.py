@@ -30,6 +30,11 @@ def main(argv=None) -> int:
     ap.add_argument("--n-real", type=int, default=6)
     ap.add_argument("--n-fake", type=int, default=6)
     ap.add_argument("--duration", type=float, default=10.0)
+    ap.add_argument("--ambiguous", type=int, default=0,
+                    help="additional feature-ambiguous fakes (subtle "
+                         "manipulations at feature-sensitivity edges — "
+                         "makes run-1 accuracy start below 100%% like the "
+                         "reference's 63.64%%)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the harness pins "
                          "jax_platforms at import; see CLAUDE.md)")
@@ -56,7 +61,8 @@ def main(argv=None) -> int:
 
     if not os.path.isdir("videos") or not os.listdir("videos"):
         print("generating labeled corpus...")
-        build_corpus("videos", args.n_real, args.n_fake, args.duration)
+        build_corpus("videos", args.n_real, args.n_fake, args.duration,
+                     n_ambiguous=args.ambiguous)
 
     from fvd_tpu import batch
     from fvd_tpu.providers import set_providers

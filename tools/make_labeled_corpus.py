@@ -54,10 +54,24 @@ FAKE_RECIPES = [
     {"mouth_gate_hz": 0.71, "texture_noise": 10.0},
 ]
 
+#: round-3 feature-AMBIGUOUS recipes (VERDICT r2 #6): manipulations at the
+#: EDGE of each feature's sensitivity — near-band desync whose mouth track
+#: still partially correlates inside C1's ±0.5 s lag search, texture noise
+#: below V5's comfortable band, and a single-feature-only pose wobble.
+#: With these in the corpus, run-1 accuracy starts below 100% (like the
+#: reference's 63.64%, results/batch_results1.txt) and the online-learning
+#: climb shows up in ACCURACY itself, not only in the attempts column.
+AMBIGUOUS_RECIPES = [
+    {"mouth_gate_hz": 1.13},                        # near-band desync only
+    {"texture_noise": 6.0},                         # sub-threshold texture
+    {"pose_jitter": 1.4},                           # pose wobble only
+    {"mouth_gate_hz": 0.89, "texture_noise": 4.0},  # both, faint
+]
+
 
 def build_corpus(out_dir: str, n_real: int, n_fake: int, duration: float,
                  fps: float = 30.0, width: int = 320, height: int = 240,
-                 renderer: str | None = None):
+                 renderer: str | None = None, n_ambiguous: int = 0):
     if renderer is None:
         from fvd_tpu.providers.factory import asr_speech_domain, default_checkpoint_dir
 
@@ -80,6 +94,16 @@ def build_corpus(out_dir: str, n_real: int, n_fake: int, duration: float,
             speech_renderer=renderer,
             **recipe,
         ))
+    for k in range(n_ambiguous):
+        recipe = AMBIGUOUS_RECIPES[k % len(AMBIGUOUS_RECIPES)]
+        idx = n_real + n_fake + k
+        paths.append(make_face_video(
+            out_dir, name=f"clip{idx:02d}_subtle_deepfake", duration=duration,
+            fps=fps, width=width, height=height, seed=300 + k,
+            speech_text=SENTENCES[idx % len(SENTENCES)],
+            speech_renderer=renderer,
+            **recipe,
+        ))
     return paths
 
 
@@ -90,9 +114,12 @@ def main(argv=None) -> int:
     ap.add_argument("--n-fake", type=int, default=6)
     ap.add_argument("--duration", type=float, default=10.0)
     ap.add_argument("--fps", type=float, default=30.0)
+    ap.add_argument("--ambiguous", type=int, default=0,
+                    help="additional feature-ambiguous fakes "
+                         "(AMBIGUOUS_RECIPES, cycled)")
     args = ap.parse_args(argv)
     paths = build_corpus(args.out, args.n_real, args.n_fake, args.duration,
-                         fps=args.fps)
+                         fps=args.fps, n_ambiguous=args.ambiguous)
     for p in paths:
         print(p)
     return 0

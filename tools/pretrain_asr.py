@@ -86,13 +86,22 @@ class Domain:
             self.utterance = random_letters
             self.dither = 0.01
         else:
-            from fvd_tpu.models.synthetic_speech import PHONE_S, formant_speech
+            from fvd_tpu.models.synthetic_speech import (PHONE_S, formant_speech,
+                                                         formant_speech_hard)
 
             self.char_s = PHONE_S
+            hard = name == "formant_hard"
 
             def render(text, rng=None):
                 rng = rng or np.random.RandomState(0)
-                a = formant_speech(text, rng)
+                # joint family: half base renders, half hard renders — the
+                # continuation must master the harder axes (rate variation,
+                # undershoot, F0 drift, reverb) WITHOUT regressing on the
+                # base family make_face_video/bench audio comes from
+                if hard and rng.rand() < 0.5:
+                    a = formant_speech_hard(text, rng, variability=1.0)
+                else:
+                    a = formant_speech(text, rng)
                 if noise > 0:
                     a = a + noise * rng.randn(len(a)).astype(np.float32)
                 return a
@@ -165,7 +174,8 @@ def main():
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--depth", type=int, default=2)
     ap.add_argument("--out", default=None)
-    ap.add_argument("--domain", choices=["tone", "formant"], default="tone")
+    ap.add_argument("--domain", choices=["tone", "formant", "formant_hard"],
+                    default="tone")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (harness pins jax_platforms; "
                          "config.update after import is the working override)")
@@ -248,9 +258,14 @@ def main():
     import json
 
     with open(args.out.replace(".npz", ".json"), "w") as f:
+        # "domain" names the BASE rendering family consumers dispatch on
+        # (synthetic.py speech_renderer / factory.asr_speech_domain);
+        # "train_domain" records the actual training mixture
         json.dump({"dim": args.dim, "depth": args.depth,
                    "chunk_frames": mel_frames, "max_tokens": max_tokens,
-                   "domain": args.domain, "dither": domain.dither}, f)
+                   "domain": ("formant" if args.domain.startswith("formant")
+                              else args.domain),
+                   "train_domain": args.domain, "dither": domain.dither}, f)
     print(f"[asr] saved {args.out}")
 
 

@@ -22,7 +22,8 @@ import numpy as np
 
 
 def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
-                   resume: bool = False, lr: float = 1e-3, augment: bool = False):
+                   resume: bool = False, lr: float = 1e-3, augment: bool = False,
+                   photometric: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +50,8 @@ def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
 
     t0 = time.perf_counter()
     for i in range(start_step, start_step + steps):
-        frames, labels, locs, _ = detector_batch(rng, batch, augment=augment)
+        frames, labels, locs, _ = detector_batch(rng, batch, augment=augment,
+                                                  photometric=photometric)
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(frames), jnp.asarray(labels), jnp.asarray(locs)
         )
@@ -182,6 +184,11 @@ def main():
     ap.add_argument("--only", choices=["det", "lmk", "pose"], default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--photometric", action="store_true",
+                    help="photometric domain randomization (lighting "
+                         "gradients, sensor noise, motion blur, JPEG "
+                         "artifacts) on the augmented half of detector "
+                         "batches — the round-3 held-out data-realism lever")
     ap.add_argument("--augment", action="store_true",
                     help="robustness augmentations on half of each batch "
                          "(a quarter gets the dense factor-combination "
@@ -202,7 +209,8 @@ def main():
     if args.only in (None, "det"):
         train_detector(args.steps, args.batch, args.det_width,
                        os.path.join(args.out_dir, "face_ssd.npz"),
-                       resume=args.resume, lr=args.lr, augment=args.augment)
+                       resume=args.resume, lr=args.lr, augment=args.augment,
+                       photometric=args.photometric)
     if args.only in (None, "lmk"):
         train_landmarks(args.steps, args.batch, args.lmk_width,
                         os.path.join(args.out_dir, "landmarks.npz"),
