@@ -274,12 +274,17 @@ def render_face(
 
 
 def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300,
-                   augment: bool = False, photometric: bool = False):
+                   augment: bool = False, photometric: bool = False,
+                   dense: bool = False):
     """Training batch for the SSD: (frames float mean-sub, labels, loc
     targets) using fvd_tpu.ops.detection matching.  ``augment`` applies the
     robustness augmentations to half of each batch (a quarter in the dense
     co-occurrence ``hard`` mode); ``photometric`` additionally domain-
-    randomizes lighting/noise/blur/codec on the augmented half."""
+    randomizes lighting/noise/blur/codec on the augmented half.  ``dense``
+    re-weights the mixture toward the weakest held-out cell: 3/4 of the
+    batch augmented, half of it in ``hard`` co-occurrence mode, ALL
+    augmented samples photometrically randomized (a quarter stays clean
+    in-domain so the in-domain eval doesn't drift)."""
     from fvd_tpu.models.face_ssd import MEAN_RGB, anchors
     from fvd_tpu.ops import detection
 
@@ -289,9 +294,16 @@ def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300,
     locs = np.zeros((batch, A.shape[0], 4), np.float32)
     boxes_out = []
     for i in range(batch):
-        img, box, _ = render_face(rng, size, augment=augment and i % 2 == 0,
-                                  hard=augment and i % 4 == 0,
-                                  photometric=photometric and i % 2 == 0)
+        if dense:
+            aug_i = augment and i % 4 != 3
+            hard_i = augment and i % 2 == 0
+            photo_i = photometric and aug_i
+        else:
+            aug_i = augment and i % 2 == 0
+            hard_i = augment and i % 4 == 0
+            photo_i = photometric and i % 2 == 0
+        img, box, _ = render_face(rng, size, augment=aug_i, hard=hard_i,
+                                  photometric=photo_i)
         frames[i] = img.astype(np.float32) - np.asarray(MEAN_RGB)
         lab, matched = detection.match_anchors(box[None], A)
         enc = np.array(detection.encode_boxes(matched, A))

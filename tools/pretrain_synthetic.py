@@ -23,7 +23,7 @@ import numpy as np
 
 def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
                    resume: bool = False, lr: float = 1e-3, augment: bool = False,
-                   photometric: bool = False):
+                   photometric: bool = False, dense: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +51,8 @@ def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
     t0 = time.perf_counter()
     for i in range(start_step, start_step + steps):
         frames, labels, locs, _ = detector_batch(rng, batch, augment=augment,
-                                                  photometric=photometric)
+                                                  photometric=photometric,
+                                                  dense=dense)
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(frames), jnp.asarray(labels), jnp.asarray(locs)
         )
@@ -184,6 +185,10 @@ def main():
     ap.add_argument("--only", choices=["det", "lmk", "pose"], default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--dense", action="store_true",
+                    help="dense mixture: 3/4 augmented, half hard, all "
+                         "augmented samples photometric (second-stage "
+                         "continuation targeting the all-factors cell)")
     ap.add_argument("--photometric", action="store_true",
                     help="photometric domain randomization (lighting "
                          "gradients, sensor noise, motion blur, JPEG "
@@ -210,7 +215,7 @@ def main():
         train_detector(args.steps, args.batch, args.det_width,
                        os.path.join(args.out_dir, "face_ssd.npz"),
                        resume=args.resume, lr=args.lr, augment=args.augment,
-                       photometric=args.photometric)
+                       photometric=args.photometric, dense=args.dense)
     if args.only in (None, "lmk"):
         train_landmarks(args.steps, args.batch, args.lmk_width,
                         os.path.join(args.out_dir, "landmarks.npz"),
