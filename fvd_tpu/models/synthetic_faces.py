@@ -315,10 +315,12 @@ def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300,
 
 
 def landmark_batch(rng: np.random.RandomState, batch: int, crop: int = 128,
-                   augment: bool = False):
+                   augment: bool = False, photometric: bool = False):
     """Training batch for the hourglass: (crops float 0..1, targets [B,68,2]
     in [0,1]) — rendered faces cropped around the gt box with jitter.
-    ``augment`` applies the robustness augmentations to half of each batch."""
+    ``augment`` applies the robustness augmentations to half of each batch;
+    ``photometric`` additionally domain-randomizes the augmented half
+    (lighting, sensor noise, blur, JPEG — the round-3 data-realism lever)."""
     import cv2
 
     crops = np.zeros((batch, crop, crop, 3), np.float32)
@@ -329,6 +331,8 @@ def landmark_batch(rng: np.random.RandomState, batch: int, crop: int = 128,
         img, box, pts = render_face(rng, 256, aperture=rng.uniform(0.0, 1.0),
                                     augment=augment and i % 2 == 0,
                                     hard=augment and i % 4 == 0)
+        if photometric and augment and i % 2 == 0:
+            img = photometric_randomize(img, rng)
         size = 256
         x1, y1, x2, y2 = (box * size).astype(int)
         # jittered crop

@@ -49,10 +49,12 @@ def warp_by_rotation(img: np.ndarray, R: np.ndarray, depth: float = 2.0) -> np.n
 
 def pose_batch(
     rng: np.random.RandomState, batch: int, max_angle: float = 40.0,
-    augment: bool = False,
+    augment: bool = False, photometric: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (crops float [B, 128, 128, 3] 0..1, R [B, 3, 3], euler_deg [B, 3]).
-    ``augment`` applies the robustness augmentations to half of each batch."""
+    ``augment`` applies the robustness augmentations to half of each batch;
+    ``photometric`` additionally domain-randomizes that half (the round-3
+    data-realism lever, models/synthetic_faces.photometric_randomize)."""
     import cv2
 
     crops = np.zeros((batch, CROP_SIZE, CROP_SIZE, 3), np.float32)
@@ -61,6 +63,10 @@ def pose_batch(
     for i in range(batch):
         img, box, _ = render_face(rng, 192, augment=augment and i % 2 == 0,
                                   hard=augment and i % 4 == 0)
+        if photometric and augment and i % 2 == 0:
+            from fvd_tpu.models.synthetic_faces import photometric_randomize
+
+            img = photometric_randomize(img, rng)
         x1, y1, x2, y2 = (box * 192).astype(int)
         face = img[max(0, y1) : y2, max(0, x1) : x2]
         if face.size == 0:

@@ -65,6 +65,7 @@ def make_face_video(
     speech_text: str | None = None,
     audio_offset_s: float = 0.0,
     texture_noise: float = 0.0,
+    sensor_noise: float = 0.0,
     pose_jitter: float = 0.0,
     mouth_gate_hz: float | None = None,
     speech_renderer: str = "tone",
@@ -97,6 +98,14 @@ def make_face_video(
       analysis reacts to.
     * ``pose_jitter`` — per-frame random head-center displacement (pixels):
       raises V4's headpose_jerk / destabilizes landmark tracks.
+    * ``sensor_noise`` — additive Gaussian noise over the WHOLE frame: NOT
+      a manipulation but real-world capture degradation (low-light sensor
+      noise / heavy recompression).  Applied to label-REAL clips it builds
+      the classic false-positive hard case — V5's forensic texture score
+      rises and landmark/lip tracking degrade on a genuine video, the same
+      signature as the reference corpus's noisy reals (e.g. its BBC News
+      real carries texture 0.65, `/root/reference/features/2025 June 16
+      BBC One minute World News.mp4.json`).
     """
     import cv2
 
@@ -157,6 +166,9 @@ def make_face_video(
             region = frame[y0:y1, x0:x1].astype(np.float32)
             region += texture_noise * rng.randn(*region.shape)
             frame[y0:y1, x0:x1] = np.clip(region, 0, 255).astype(np.uint8)
+        if sensor_noise > 0:
+            noisy = frame.astype(np.float32) + sensor_noise * rng.randn(*frame.shape)
+            frame = np.clip(noisy, 0, 255).astype(np.uint8)
         frames[i] = frame
     video_path = os.path.join(dirpath, f"{name}.mp4")
     write_video(video_path, frames, fps)

@@ -76,3 +76,40 @@ def test_trained_models_track_face_video(tmp_path):
     # aperture-varied retrain reaches ~0.98; the margin keeps CPU/TPU
     # numeric drift from flaking the suite
     assert corr > 0.8, f"MAR/gate correlation {corr}"
+
+
+def test_sensor_noise_degrades_whole_frame(tmp_path):
+    """sensor_noise (the hard-real false-positive lever) is whole-frame
+    capture degradation: background pixels move, not just the face region
+    (unlike texture_noise), and the clip remains decodable."""
+    import cv2
+
+    from fvd_tpu.synthetic import make_face_video
+
+    clean = make_face_video(str(tmp_path), "clean", duration=1.0, fps=5.0,
+                            seed=3)
+    noisy = make_face_video(str(tmp_path), "noisy", duration=1.0, fps=5.0,
+                            seed=3, sensor_noise=24.0)
+    fc, fn = cv2.VideoCapture(clean), cv2.VideoCapture(noisy)
+    ok_c, a = fc.read()
+    ok_n, b = fn.read()
+    fc.release(), fn.release()
+    assert ok_c and ok_n
+    # corner patch is pure background in both renders
+    corner_delta = (a[:40, :40].astype(int) - b[:40, :40].astype(int))
+    assert float(np.abs(corner_delta).mean()) > 5.0
+
+
+def test_hard_real_recipes_have_no_claimable_sentence():
+    """HARD_REAL_RECIPES pair degradation with <4-word exclamations, so C3
+    extracts zero claims and claim/evidence reliability stay 0 (the
+    reference's Biden-clip signature); labels must parse as REAL."""
+    from fvd_tpu.batch import get_label
+    from tools.make_labeled_corpus import HARD_REAL_RECIPES
+
+    for recipe, text in HARD_REAL_RECIPES:
+        assert len(text.split()) < 4
+        assert recipe.get("sensor_noise", 0) > 0
+        assert "mouth_gate_hz" not in recipe  # genuine clips: no manipulation
+        assert "texture_noise" not in recipe
+    assert get_label("clip16_real_vlog.mp4") == 0

@@ -35,9 +35,24 @@ def main(argv=None) -> int:
                          "manipulations at feature-sensitivity edges — "
                          "makes run-1 accuracy start below 100%% like the "
                          "reference's 63.64%%)")
+    ap.add_argument("--hard-reals", type=int, default=0,
+                    help="additional noisy genuine clips with no verifiable "
+                         "claims (false-positive hard cases: under the "
+                         "pretrained weights they start on the fake side "
+                         "with a deficit near the 100-retry movement "
+                         "budget, so run-1 accuracy starts below 100%%)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the harness pins "
                          "jax_platforms at import; see CLAUDE.md)")
+    ap.add_argument("--baseline-eval", action="store_true",
+                    help="record a run-0 WITHOUT --train first: the "
+                         "pre-training accuracy baseline.  The reference's "
+                         "63.64%% run-1 rows behave exactly like this — "
+                         "every WRONG row carries p<0.5, which persisting "
+                         "per-attempt retraining would have crossed "
+                         "(tools/analyze_reference_trajectory.py), so its "
+                         "first recorded run is an untrained baseline in "
+                         "all but name")
     ap.add_argument("--fresh-weights", action="store_true",
                     help="start from all-zero LR weights instead of the "
                          "shipped pretrained ones — records the full "
@@ -62,7 +77,7 @@ def main(argv=None) -> int:
     if not os.path.isdir("videos") or not os.listdir("videos"):
         print("generating labeled corpus...")
         build_corpus("videos", args.n_real, args.n_fake, args.duration,
-                     n_ambiguous=args.ambiguous)
+                     n_ambiguous=args.ambiguous, n_hard_real=args.hard_reals)
 
     from fvd_tpu import batch
     from fvd_tpu.providers import set_providers
@@ -82,15 +97,19 @@ def main(argv=None) -> int:
 
     accs = []
     attempts = []
-    for run in range(1, args.runs + 1):
+    runs = [(r, True) for r in range(1, args.runs + 1)]
+    if args.baseline_eval:
+        runs.insert(0, (0, False))
+    for run, train in runs:
         results = f"results/batch_results{run}.txt"
-        print(f"=== run {run}/{args.runs} (--train) ===", flush=True)
+        print(f"=== run {run}/{args.runs} ({'--train' if train else 'eval baseline'}) ===",
+              flush=True)
         import contextlib
         import io
 
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            batch.main(["--train", "--results", results])
+            batch.main((["--train"] if train else []) + ["--results", results])
         out = buf.getvalue()
         print(out, flush=True)
         with open(results) as f:

@@ -68,10 +68,29 @@ AMBIGUOUS_RECIPES = [
     {"mouth_gate_hz": 0.89, "texture_noise": 4.0},  # both, faint
 ]
 
+#: round-3 HARD-REAL recipes: genuine videos under real-world capture
+#: degradation — whole-frame sensor noise (low light / recompression) that
+#: honestly raises V5's forensic texture score and degrades landmark/lip
+#: tracking on an UNMANIPULATED clip, paired with short exclamatory speech
+#: that contains no verifiable claim (C3 extracts nothing -> claim and
+#: evidence reliability 0, exactly like the reference corpus's Biden clip,
+#: `/root/reference/features/Biden AI Deepfake...json` reliability 0.0).
+#: Under the pretrained LR weights these start on the FAKE side of the
+#: threshold with a deficit near the 100-retry SGD movement budget — the
+#: false-positive hard case that makes run-1 accuracy start below 100%
+#: (the reference's 63.64%, results/batch_results1.txt).
+HARD_REAL_RECIPES = [
+    ({"sensor_noise": 20.0}, "so very cool"),
+    ({"sensor_noise": 26.0}, "wow just wow"),
+    ({"sensor_noise": 22.0, "pose_jitter": 1.0}, "that was close"),
+    ({"sensor_noise": 24.0}, "oh my word"),
+]
+
 
 def build_corpus(out_dir: str, n_real: int, n_fake: int, duration: float,
                  fps: float = 30.0, width: int = 320, height: int = 240,
-                 renderer: str | None = None, n_ambiguous: int = 0):
+                 renderer: str | None = None, n_ambiguous: int = 0,
+                 n_hard_real: int = 0):
     if renderer is None:
         from fvd_tpu.providers.factory import asr_speech_domain, default_checkpoint_dir
 
@@ -104,6 +123,16 @@ def build_corpus(out_dir: str, n_real: int, n_fake: int, duration: float,
             speech_renderer=renderer,
             **recipe,
         ))
+    for m in range(n_hard_real):
+        recipe, text = HARD_REAL_RECIPES[m % len(HARD_REAL_RECIPES)]
+        idx = n_real + n_fake + n_ambiguous + m
+        paths.append(make_face_video(
+            out_dir, name=f"clip{idx:02d}_real_vlog", duration=duration,
+            fps=fps, width=width, height=height, seed=400 + m,
+            speech_text=text,
+            speech_renderer=renderer,
+            **recipe,
+        ))
     return paths
 
 
@@ -117,9 +146,14 @@ def main(argv=None) -> int:
     ap.add_argument("--ambiguous", type=int, default=0,
                     help="additional feature-ambiguous fakes "
                          "(AMBIGUOUS_RECIPES, cycled)")
+    ap.add_argument("--hard-reals", type=int, default=0,
+                    help="additional noisy genuine clips with no verifiable "
+                         "claims (HARD_REAL_RECIPES, cycled) — the "
+                         "false-positive hard cases")
     args = ap.parse_args(argv)
     paths = build_corpus(args.out, args.n_real, args.n_fake, args.duration,
-                         fps=args.fps, n_ambiguous=args.ambiguous)
+                         fps=args.fps, n_ambiguous=args.ambiguous,
+                         n_hard_real=args.hard_reals)
     for p in paths:
         print(p)
     return 0

@@ -90,7 +90,8 @@ def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
 
 
 def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1,
-                    resume: bool = False, lr: float = 1e-3, augment: bool = False):
+                    resume: bool = False, lr: float = 1e-3, augment: bool = False,
+                    photometric: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -107,7 +108,8 @@ def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1,
 
     t0 = time.perf_counter()
     for i in range(steps):
-        crops, targets = landmark_batch(rng, batch, augment=augment)
+        crops, targets = landmark_batch(rng, batch, augment=augment,
+                                        photometric=photometric)
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(crops), jnp.asarray(targets)
         )
@@ -131,7 +133,8 @@ def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1,
 
 
 def train_pose(steps: int, batch: int, width: int, out: str, seed: int = 2,
-               resume: bool = False, lr: float = 1e-3, augment: bool = False):
+               resume: bool = False, lr: float = 1e-3, augment: bool = False,
+               photometric: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -156,7 +159,8 @@ def train_pose(steps: int, batch: int, width: int, out: str, seed: int = 2,
 
     t0 = time.perf_counter()
     for i in range(steps):
-        crops, Rs, _ = pose_batch(rng, batch, augment=augment)
+        crops, Rs, _ = pose_batch(rng, batch, augment=augment,
+                                  photometric=photometric)
         params, opt_state, loss = step(params, opt_state, jnp.asarray(crops),
                                        jnp.asarray(Rs))
         if i % 100 == 0 or i == steps - 1:
@@ -219,11 +223,13 @@ def main():
     if args.only in (None, "lmk"):
         train_landmarks(args.steps, args.batch, args.lmk_width,
                         os.path.join(args.out_dir, "landmarks.npz"),
-                        resume=args.resume, lr=args.lr, augment=args.augment)
+                        resume=args.resume, lr=args.lr, augment=args.augment,
+                        photometric=args.photometric)
     if args.only in (None, "pose"):
         train_pose(args.steps, args.batch, 32,
                    os.path.join(args.out_dir, "pose.npz"),
-                   resume=args.resume, lr=args.lr, augment=args.augment)
+                   resume=args.resume, lr=args.lr, augment=args.augment,
+                   photometric=args.photometric)
 
 
 if __name__ == "__main__":
