@@ -113,3 +113,30 @@ def test_hard_real_recipes_have_no_claimable_sentence():
         assert "mouth_gate_hz" not in recipe  # genuine clips: no manipulation
         assert "texture_noise" not in recipe
     assert get_label("clip16_real_vlog.mp4") == 0
+
+
+@pytest.mark.skipif(not HAS_CKPTS, reason="no trained vision checkpoints")
+def test_detector_heldout_all_factors_floor():
+    """Pin the round-3 photometric continuation's weakest-cell gain: the
+    all-factors held-out cell (stripes + ecc/skin + accessories + rotation
+    at once) measured 0.757 at n=64; guard a sampling-safe floor so a
+    future checkpoint adoption can't silently regress it."""
+    import jax.numpy as jnp
+
+    from fvd_tpu.models import face_ssd
+    from tools.diagnose_det_heldout import render_factored
+    from tools.eval_heldout import _iou
+
+    params = face_ssd.load_params(os.path.join(CKPT_DIR, "face_ssd.npz"))
+    rng = np.random.RandomState(11)
+    n = 24
+    frames = np.zeros((n, 300, 300, 3), np.uint8)
+    gts = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        frames[i], gts[i] = render_factored(
+            rng, 300, stripes=True, ecc_skin=True, accessories=True,
+            rotation=True)
+    boxes, _ = face_ssd.detect_batch_jit(params, jnp.asarray(frames))
+    boxes = np.asarray(boxes)
+    iou = float(np.mean([_iou(boxes[i, 0], gts[i]) for i in range(n)]))
+    assert iou >= 0.62, f"held-out all-factors IoU regressed: {iou}"
