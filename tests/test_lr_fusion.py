@@ -228,3 +228,44 @@ def test_missing_weights_custom_path_gives_half(tmp_cwd):
         cfg, fusion=dataclasses.replace(cfg.fusion, weights_path="custom_w.json"))
     delta = lr_fusion.run(State(input_path="y.mp4"), config=cfg)
     assert delta["fake_probability"] == 0.5
+
+
+def test_hard_real_vectors_misclassify_untrained_but_converge():
+    """The round-3 hard-real contract (docs/ACCURACY.md): under the shipped
+    pretrained weights a noisy genuine clip scores on the FAKE side (the
+    run-0 eval-baseline failures), yet persisting per-attempt retraining
+    crosses the threshold within the reference's 100-attempt budget — so
+    trained runs stay at 100% while the untrained baseline starts low.
+    Vectors measured by the full pipeline on the four HARD_REAL_RECIPES
+    clips (sensor_noise 20-26, <4-word no-claim speech)."""
+    pretrained = json.load(open(os.path.join(
+        os.path.dirname(__file__), "..", "assets",
+        "lr_weights_pretrained.json")))
+    hard_reals = [
+        {"speech_rate": 0.06, "pause_ratio": 0.135, "lip_sync": 0.563,
+         "gesture_score": 1.0, "blink_rate": 1.0, "headpose_jerk": 0.058,
+         "texture": 0.925, "claim_reliability": 0.0,
+         "evidence_reliability": 0.0},
+        {"speech_rate": 0.06, "pause_ratio": 0.127, "lip_sync": 0.719,
+         "gesture_score": 0.889, "blink_rate": 1.0, "headpose_jerk": 0.081,
+         "texture": 0.98, "claim_reliability": 0.0,
+         "evidence_reliability": 0.0},
+        {"speech_rate": 0.04, "pause_ratio": 0.048, "lip_sync": 0.432,
+         "gesture_score": 0.857, "blink_rate": 1.0, "headpose_jerk": 0.073,
+         "texture": 0.98, "claim_reliability": 0.0,
+         "evidence_reliability": 0.0},
+        {"speech_rate": 0.06, "pause_ratio": 0.127, "lip_sync": 0.569,
+         "gesture_score": 0.889, "blink_rate": 1.0, "headpose_jerk": 0.073,
+         "texture": 0.98, "claim_reliability": 0.0,
+         "evidence_reliability": 0.0},
+    ]
+    for feats in hard_reals:
+        # untrained: flagged fake (the eval-baseline false positive)
+        assert fusion.predict_host(feats, pretrained) > 0.5
+        # trained: crosses within the reference's retry budget
+        w = dict(pretrained)
+        for attempt in range(1, 101):
+            w, p = fusion.sgd_update_host(feats, w, 0)
+            if p <= 0.5:
+                break
+        assert p <= 0.5, f"did not converge within 100: {feats}"
