@@ -15,7 +15,7 @@ from typing import Tuple
 import numpy as np
 
 from fvd_tpu.models.landmarks_fan import CROP_SIZE
-from fvd_tpu.models.synthetic_faces import render_face
+from fvd_tpu.models.synthetic_faces import photometric_randomize, render_face
 
 
 def euler_to_matrix(pitch_deg: float, yaw_deg: float, roll_deg: float) -> np.ndarray:
@@ -64,8 +64,6 @@ def pose_batch(
         img, box, _ = render_face(rng, 192, augment=augment and i % 2 == 0,
                                   hard=augment and i % 4 == 0)
         if photometric and augment and i % 2 == 0:
-            from fvd_tpu.models.synthetic_faces import photometric_randomize
-
             img = photometric_randomize(img, rng)
         x1, y1, x2, y2 = (box * 192).astype(int)
         face = img[max(0, y1) : y2, max(0, x1) : x2]
