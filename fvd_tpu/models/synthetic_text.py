@@ -164,13 +164,16 @@ def recognizer_batch(rng: np.random.RandomState, batch: int,
 
 
 def detector_sample(rng: np.random.RandomState,
-                    augment: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+                    augment: bool = False,
+                    font: int | None = None) -> Tuple[np.ndarray, np.ndarray]:
     """One detection image: RGB uint8 [DET_SIZE, DET_SIZE, 3] with 1-3 text
     strips, plus the ground-truth text mask [DET_SIZE, DET_SIZE] float.
 
     ``augment``: draw each strip in a random NON-held-out font face
     (:func:`_train_font`) so region detection generalizes to unseen glyph
-    shapes too."""
+    shapes too.  ``font``: explicit cv2 font-face override for every strip
+    (held-out evaluation renders faces training never saw); wins over
+    ``augment``."""
     import cv2
 
     img = (rng.rand(DET_SIZE, DET_SIZE, 3) * 90).astype(np.uint8)
@@ -178,17 +181,19 @@ def detector_sample(rng: np.random.RandomState,
     mask = np.zeros((DET_SIZE, DET_SIZE), np.float32)
     for _ in range(rng.randint(1, 4)):
         text = random_text(rng, 4, 14)
-        font = _train_font(rng) if augment else cv2.FONT_HERSHEY_SIMPLEX
+        strip_font = font if font is not None else (
+            _train_font(rng) if augment else cv2.FONT_HERSHEY_SIMPLEX)
         scale = rng.uniform(0.4, 1.4)
         thickness = int(rng.randint(1, 4))
-        ((tw, th), baseline) = cv2.getTextSize(text, font, scale, thickness)
+        ((tw, th), baseline) = cv2.getTextSize(text, strip_font, scale, thickness)
         if tw >= DET_SIZE - 6:
             scale *= (DET_SIZE - 8) / tw
-            ((tw, th), baseline) = cv2.getTextSize(text, font, scale, thickness)
+            ((tw, th), baseline) = cv2.getTextSize(text, strip_font, scale,
+                                                   thickness)
         x = rng.randint(2, max(3, DET_SIZE - tw - 2))
         y = rng.randint(th + 2, DET_SIZE - baseline - 2)
         color = tuple(int(c) for c in rng.randint(170, 255, 3))
-        cv2.putText(img, text, (x, y), font, scale, color, thickness)
+        cv2.putText(img, text, (x, y), strip_font, scale, color, thickness)
         mask[max(0, y - th - 2) : min(DET_SIZE, y + baseline + 2),
              max(0, x - 2) : min(DET_SIZE, x + tw + 2)] = 1.0
     return img, mask

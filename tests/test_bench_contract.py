@@ -55,6 +55,37 @@ def test_sigterm_without_result_exits_nonzero():
     assert p.returncode == 1
 
 
+def test_corpus_cache_dir_keying(tmp_path, monkeypatch):
+    """The persistent fixture-corpus cache must rebuild when either the
+    generation args or the generator sources change, and must not report
+    complete until the marker lands."""
+    sys.path.insert(0, os.path.abspath(REPO))
+    import bench
+
+    monkeypatch.setattr(bench.tempfile, "gettempdir", lambda: str(tmp_path))
+    repo = os.path.abspath(REPO)
+
+    d1, complete = bench._corpus_cache_dir(repo, "faces:8:30.0")
+    assert not complete  # fresh dir: no COMPLETE marker yet
+    d2, _ = bench._corpus_cache_dir(repo, "faces:8:30.0")
+    assert d1 == d2  # same args + sources -> same dir
+    d3, _ = bench._corpus_cache_dir(repo, "faces:8:60.0")
+    assert d3 != d1  # args change the key
+
+    # a different generator source tree changes the key too
+    other = str(tmp_path / "other_repo")
+    os.makedirs(os.path.join(other, "fvd_tpu", "models"))
+    with open(os.path.join(other, "fvd_tpu", "synthetic.py"), "w") as f:
+        f.write("# different generator\n")
+    d4, _ = bench._corpus_cache_dir(other, "faces:8:30.0")
+    assert d4 != d1
+
+    with open(os.path.join(d1, "COMPLETE"), "w") as f:
+        f.write("ok\n")
+    _, complete = bench._corpus_cache_dir(repo, "faces:8:30.0")
+    assert complete
+
+
 def test_backend_retry_reexecs_then_falls_back_to_cpu(monkeypatch):
     import types
 

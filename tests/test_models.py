@@ -526,6 +526,45 @@ def test_clip_heldout_scene_discrimination():
     assert ok >= 7, f"held-out CLIP discrimination {ok}/{total}"
 
 
+def test_ocr_detector_heldout_font_floor():
+    """The text-region U-Net must localize scene text rendered in font
+    faces its training renderer never draws (DUPLEX/COMPLEX/TRIPLEX +
+    italic).  Measured 0.939 pixel-mask IoU at n=64 (tools/eval_heldout.py
+    --only ocr_det); guard a sampling-safe floor so a future checkpoint
+    adoption can't silently regress unseen-glyph generalization."""
+    import os
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    ckpt = os.path.join(os.path.dirname(__file__), "..", "checkpoints",
+                        "ocr_det.npz")
+    if not os.path.exists(ckpt):
+        pytest.skip("trained OCR detector checkpoint not present")
+    from fvd_tpu.models.synthetic_text import detector_sample
+
+    params = encoders.load_params(
+        ckpt, ocr.init_detector(jax.random.PRNGKey(0), width=16))
+    fonts = [cv2.FONT_HERSHEY_DUPLEX, cv2.FONT_HERSHEY_COMPLEX,
+             cv2.FONT_HERSHEY_TRIPLEX,
+             cv2.FONT_HERSHEY_SIMPLEX | cv2.FONT_ITALIC]
+    rng = np.random.RandomState(19)
+    n = 16
+    imgs = np.zeros((n, ocr.DET_SIZE, ocr.DET_SIZE, 3), np.float32)
+    masks = np.zeros((n, ocr.DET_SIZE, ocr.DET_SIZE), np.float32)
+    for i in range(n):
+        img, mask = detector_sample(rng, font=fonts[rng.randint(len(fonts))])
+        imgs[i] = img.astype(np.float32) / 255.0
+        masks[i] = mask
+    prob = np.asarray(ocr.detect_forward(params, jnp.asarray(imgs), width=16))
+    pred, gt = prob > 0.5, masks > 0.5
+    inter = (pred & gt).reshape(n, -1).sum(1)
+    union = (pred | gt).reshape(n, -1).sum(1)
+    iou = float(np.mean(inter / np.maximum(union, 1)))
+    assert iou >= 0.85, f"held-out-font OCR detection IoU regressed: {iou}"
+
+
 def test_chained_detlm_matches_unchained(monkeypatch):
     """FVD_TPU_FUSED_DETLM: the chained det->lm->pose single-fetch program
     must reproduce the un-chained fused path exactly (single-face frames,

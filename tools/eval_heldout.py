@@ -235,12 +235,57 @@ def eval_ocr(n: int, seed: int = 17):
             "unit": "exact-match rate"}
 
 
+def eval_ocr_det(n: int, seed: int = 19):
+    """Held-out eval for the text-region detection U-Net.
+
+    The recognizer eval above covers unseen fonts end-to-end through
+    ``scene_crop_line``; this covers the DETECTOR: pixel-mask IoU between
+    ``detect_forward > 0.5`` and ground truth, on scenes rendered in font
+    faces the detector's training renderer never draws (same held-out font
+    set as the recognizer eval)."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from fvd_tpu.models import encoders, ocr
+    from fvd_tpu.models.synthetic_text import detector_sample
+
+    template = ocr.init_detector(jax.random.PRNGKey(0), width=16)
+    params = encoders.load_params(os.path.join(CKPT, "ocr_det.npz"), template)
+
+    HELD_OUT_FONTS = [cv2.FONT_HERSHEY_DUPLEX, cv2.FONT_HERSHEY_COMPLEX,
+                      cv2.FONT_HERSHEY_TRIPLEX,
+                      cv2.FONT_HERSHEY_SIMPLEX | cv2.FONT_ITALIC]
+
+    def run(fonts):
+        rng = np.random.RandomState(seed)
+        imgs = np.zeros((n, ocr.DET_SIZE, ocr.DET_SIZE, 3), np.float32)
+        masks = np.zeros((n, ocr.DET_SIZE, ocr.DET_SIZE), np.float32)
+        for i in range(n):
+            font = None if fonts is None else fonts[rng.randint(len(fonts))]
+            img, mask = detector_sample(rng, font=font)
+            imgs[i] = img.astype(np.float32) / 255.0
+            masks[i] = mask
+        prob = np.asarray(ocr.detect_forward(params, jnp.asarray(imgs),
+                                             width=16))  # [B, H, W]
+        pred = prob > 0.5
+        gt = masks > 0.5
+        inter = (pred & gt).reshape(n, -1).sum(1)
+        union = (pred | gt).reshape(n, -1).sum(1)
+        return float(np.mean(inter / np.maximum(union, 1)))
+
+    return {"in_domain": run(None), "held_out": run(HELD_OUT_FONTS),
+            "unit": "pixel-mask IoU @0.5"}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--json", default=None)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--only", choices=["det", "lmk", "pose", "ocr"], default=None)
+    ap.add_argument("--only",
+                    choices=["det", "lmk", "pose", "ocr", "ocr_det"],
+                    default=None)
     ap.add_argument("--ckpt-dir", default=None,
                     help="evaluate checkpoints from this directory instead")
     args = ap.parse_args(argv)
@@ -255,7 +300,7 @@ def main(argv=None) -> int:
         fvd_tpu.force_cpu()
 
     evals = {"det": eval_detector, "lmk": eval_landmarks,
-             "pose": eval_pose, "ocr": eval_ocr}
+             "pose": eval_pose, "ocr": eval_ocr, "ocr_det": eval_ocr_det}
     results = {}
     for name, fn in evals.items():
         if args.only and name != args.only:
