@@ -133,7 +133,7 @@ def test_detector_heldout_all_factors_floor():
     frames = np.zeros((n, 300, 300, 3), np.uint8)
     gts = np.zeros((n, 4), np.float32)
     for i in range(n):
-        frames[i], gts[i] = render_factored(
+        frames[i], gts[i], _ = render_factored(
             rng, 300, stripes=True, ecc_skin=True, accessories=True,
             rotation=True)
     boxes, _ = face_ssd.detect_batch_jit(params, jnp.asarray(frames))

@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def render_factored(
     rng: np.random.RandomState, size: int = 300, *,
     stripes=False, ecc_skin=False, accessories=False, rotation=False,
-) -> Tuple[np.ndarray, np.ndarray]:
+    aperture=None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     import cv2
 
     from fvd_tpu.models.synthetic_faces import draw_face
@@ -53,7 +54,7 @@ def render_factored(
                          rng.randint(100, 170)])
     cx = rng.uniform(fw / 2 + 2, size - fw / 2 - 2)
     cy = rng.uniform(fh / 2 + 2, size - fh / 2 - 2)
-    pts = draw_face(img, cx, cy, fw, fh, skin, None)
+    pts = draw_face(img, cx, cy, fw, fh, skin, aperture)
 
     if accessories:
         dark = (skin * 0.3).astype(int).tolist()
@@ -72,13 +73,14 @@ def render_factored(
     if rotation:
         M = cv2.getRotationMatrix2D((cx, cy), angle, 1.0)
         img = cv2.warpAffine(img, M, (size, size), flags=cv2.INTER_LINEAR)
+        pts = (pts @ M[:, :2].T) + M[:, 2]
     th = np.deg2rad(angle)
     a, b = fw / 2.0, fh / 2.0
     hw = float(np.sqrt((a * np.cos(th)) ** 2 + (b * np.sin(th)) ** 2))
     hh = float(np.sqrt((a * np.sin(th)) ** 2 + (b * np.cos(th)) ** 2))
     box = np.array([(cx - hw) / size, (cy - hh) / size,
                     (cx + hw) / size, (cy + hh) / size], np.float32)
-    return img, np.clip(box, 0.0, 1.0)
+    return img, np.clip(box, 0.0, 1.0), pts.astype(np.float32)
 
 
 def main(argv=None) -> int:
@@ -106,7 +108,7 @@ def main(argv=None) -> int:
         frames = np.zeros((args.n, 300, 300, 3), np.uint8)
         gts = np.zeros((args.n, 4), np.float32)
         for i in range(args.n):
-            frames[i], gts[i] = render_factored(rng, 300, **factors)
+            frames[i], gts[i], _ = render_factored(rng, 300, **factors)
         boxes, _ = face_ssd.detect_batch_jit(params, jnp.asarray(frames))
         boxes = np.asarray(boxes)
         return float(np.mean([_iou(boxes[i, 0], gts[i])
