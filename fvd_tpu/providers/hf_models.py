@@ -181,11 +181,25 @@ class HFWhisperASR:
 
     model_name = "hf_whisper_flax"
 
-    def __init__(self, model, processor=None, decode_ids=None, chunk_s: float = 30.0):
+    def __init__(self, model, processor=None, decode_ids=None, chunk_s: float = 30.0,
+                 max_new_tokens: int = 320):
         self.model = model
         self.processor = processor
         self._decode_ids = decode_ids
         self.chunk_s = chunk_s
+        self.max_new_tokens = max_new_tokens
+        # whisper's host-side mel frontend costs ~5.6 s per 30 s clip on
+        # this 1-core host; when the checkpoint uses the standard whisper
+        # frontend geometry the extractor's own slaney filter bank runs
+        # through the jitted device frontend instead (<1e-5 from the host
+        # path, tests/test_whisper_frontend.py)
+        self._mel_filters = None
+        fe = getattr(processor, "feature_extractor", None)
+        if (fe is not None and getattr(fe, "sampling_rate", None) == 16000
+                and getattr(fe, "hop_length", None) == 160
+                and getattr(fe, "n_fft", None) == 400):
+            self._mel_filters = np.ascontiguousarray(
+                fe.mel_filters, np.float32)  # [201, 80]
 
     @classmethod
     def from_local(cls, path: str) -> "HFWhisperASR":
@@ -196,6 +210,14 @@ class HFWhisperASR:
         return cls(model, processor=processor)
 
     def _features(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        if self._mel_filters is not None and sr == 16000:
+            import jax.numpy as jnp
+
+            from fvd_tpu.ops.whisper_frontend import whisper_log_mel
+
+            feats = whisper_log_mel(
+                jnp.asarray(audio, jnp.float32), jnp.asarray(self._mel_filters))
+            return np.asarray(feats)[None]
         if self.processor is not None:
             return self.processor(
                 audio, sampling_rate=sr, return_tensors="np"
@@ -236,7 +258,9 @@ class HFWhisperASR:
             if len(piece) == 0:
                 break
             feats = self._features(piece, sr)
-            max_len = min(128, self.model.config.max_target_positions)
+            # dense 30 s windows transcribe to ~1 token/char on the
+            # fabricated byte-level vocabulary — 128 would truncate
+            max_len = min(self.max_new_tokens, self.model.config.max_target_positions)
             ids = self.model.generate(feats, max_length=max_len).sequences
             if self.processor is not None:
                 text = self.processor.batch_decode(ids, skip_special_tokens=True)[0].strip()

@@ -147,29 +147,39 @@ def make_clip(dest: str, seed: int = 0) -> None:
     tok.save_pretrained(dest)
 
 
-def make_whisper(dest: str, seed: int = 0) -> None:
+def make_whisper(dest: str, seed: int = 0, *, d_model: int = 512,
+                 layers: int = 6, heads: int = 8, ffn: int = 2048,
+                 vocab_size: int = 51865) -> None:
     """openai/whisper-base geometry: d_model 512, 6+6 layers, 8 heads,
     ffn 2048, mel 80, vocab 51865, source 1500 / target 448 positions
-    (a2_vad_asr.py:27-30)."""
+    (a2_vad_asr.py:27-30).
+
+    Control-token ids are aligned with the fabricated tokenizer's special
+    tokens (<|endoftext|>=0 as pad/bos/eos, <|startoftranscript|>=1 as the
+    decoder start) so ``skip_special_tokens`` strips exactly what a model
+    trained on this vocabulary emits; genuine OpenAI weights ship their own
+    config.json + tokenizer and simply replace these files."""
     from transformers import (FlaxWhisperForConditionalGeneration,
                               WhisperConfig, WhisperFeatureExtractor,
                               WhisperTokenizerFast)
 
     cfg = WhisperConfig(
-        vocab_size=51865, num_mel_bins=80, d_model=512,
-        encoder_layers=6, encoder_attention_heads=8, encoder_ffn_dim=2048,
-        decoder_layers=6, decoder_attention_heads=8, decoder_ffn_dim=2048,
+        vocab_size=vocab_size, num_mel_bins=80, d_model=d_model,
+        encoder_layers=layers, encoder_attention_heads=heads, encoder_ffn_dim=ffn,
+        decoder_layers=layers, decoder_attention_heads=heads, decoder_ffn_dim=ffn,
         max_source_positions=1500, max_target_positions=448,
-        pad_token_id=50257, bos_token_id=50257, eos_token_id=50257,
-        decoder_start_token_id=50258,
+        pad_token_id=0, bos_token_id=0, eos_token_id=0,
+        decoder_start_token_id=1,
         suppress_tokens=[], begin_suppress_tokens=[],
     )
     model = FlaxWhisperForConditionalGeneration(cfg, seed=seed)
     fe = WhisperFeatureExtractor()  # defaults = whisper's mel frontend
     tok = WhisperTokenizerFast(
-        tokenizer_object=_bytelevel_bpe(cfg.vocab_size, ["<|endoftext|>"]),
+        tokenizer_object=_bytelevel_bpe(
+            cfg.vocab_size, ["<|endoftext|>", "<|startoftranscript|>"]),
         unk_token="<|endoftext|>", bos_token="<|endoftext|>",
-        eos_token="<|endoftext|>", pad_token="<|endoftext|>")
+        eos_token="<|endoftext|>", pad_token="<|endoftext|>",
+        additional_special_tokens=["<|startoftranscript|>"])
     os.makedirs(dest, exist_ok=True)
     model.save_pretrained(dest)
     fe.save_pretrained(dest)
@@ -182,6 +192,28 @@ MAKERS = {"minilm": make_minilm, "clip": make_clip, "whisper": make_whisper}
 def make_all(out_dir: str, kinds=("minilm", "clip", "whisper")) -> None:
     for kind in kinds:
         MAKERS[kind](os.path.join(out_dir, kind))
+
+
+def hf_geometry_cache_dir(kinds=("minilm", "clip", "whisper")) -> str:
+    """A persistent fabricated-geometry hf/ directory under /tmp, keyed on a
+    digest of this file (fabricating whisper-base + CLIP + MiniLM costs
+    minutes of 1-core host time; kernel_bench and bench --real-geometry
+    both want it warm).  A COMPLETE marker guards half-written caches."""
+    import hashlib
+    import tempfile
+
+    with open(os.path.abspath(__file__), "rb") as f:
+        digest = hashlib.sha1(f.read()).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), "fvd_hf_geom", digest)
+    marker = os.path.join(d, "COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        for kind in kinds:
+            print(f"[hf-geom cache] fabricating {kind}...")
+            MAKERS[kind](os.path.join(d, kind))
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return d
 
 
 def main() -> int:
