@@ -13,9 +13,11 @@ Two modes:
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "videos/min", "vs_baseline": N/50}
-vs_baseline is against the BASELINE.md target of >= 50 videos/min on a
-v5e-8; this benchmark runs whatever hardware jax.default_backend() exposes
-(a single chip under the driver).
+`value` is the MEDIAN videos/min over the measured passes — the sustained
+number (tunnel transport swings 3x+ between passes; `best_vpm`/`pass_vpm`
+carry the spread).  vs_baseline is against the BASELINE.md target of
+>= 50 videos/min on a v5e-8; this benchmark runs whatever hardware
+jax.default_backend() exposes (a single chip under the driver).
 """
 
 from __future__ import annotations
@@ -73,6 +75,95 @@ def _corpus_cache_dir(repo_root: str, args_repr: str) -> tuple[str, bool]:
     d = os.path.join(tempfile.gettempdir(), "fvd_bench_corpus", h.hexdigest()[:16])
     os.makedirs(d, exist_ok=True)
     return d, os.path.exists(os.path.join(d, "COMPLETE"))
+
+
+def _real_geometry_checkpoint_dir(repo_root: str) -> tuple:
+    """A checkpoint dir whose hf/ holds the reference lineup at REAL model
+    geometry: whisper-base (trained checkpoints/hf/whisper when present,
+    fabricated random-init otherwise), CLIP ViT-B/32 and MiniLM-L6
+    (fabricated unless trained ones exist).  First-party vision checkpoints
+    are linked through, so V1/V3/V4 run the trained detector/landmark/pose
+    exactly as the default bench does — the delta IS the reference-scale
+    A2/C2/E1 models (`a2_vad_asr.py:27-30`, `c2_gesture_narration_check.py:
+    49-54`, `e1_web_evidence.py:334-347`).  Returns (dir, whisper_kind)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(repo_root, "tools"))
+    from make_hf_geometry_checkpoints import hf_geometry_cache_dir
+
+    fab = hf_geometry_cache_dir()
+    d = tempfile.mkdtemp(prefix="fvd_realgeom_ckpt_")
+    src_ckpt = os.path.join(repo_root, "checkpoints")
+    for f in os.listdir(src_ckpt):
+        if f.endswith((".npz", ".json")):
+            os.symlink(os.path.join(src_ckpt, f), os.path.join(d, f))
+    hf = os.path.join(d, "hf")
+    os.makedirs(hf)
+    trained_whisper = os.path.join(src_ckpt, "hf", "whisper")
+    whisper_kind = "trained" if os.path.isdir(trained_whisper) else "random-init"
+    os.symlink(trained_whisper if whisper_kind == "trained"
+               else os.path.join(fab, "whisper"), os.path.join(hf, "whisper"))
+    for kind in ("clip", "minilm"):
+        trained = os.path.join(src_ckpt, "hf", kind)
+        os.symlink(trained if os.path.isdir(trained)
+                   else os.path.join(fab, kind), os.path.join(hf, kind))
+    return d, whisper_kind
+
+
+def _real_geometry_section(repo_root, videos, config, n_videos):
+    """Measure videos/min with the reference-geometry models active — the
+    apples-to-apples perf number VERDICT r3 'missing #1' asked for.  Runs
+    after the toy-geometry headline is already secured in _RESULT, so a
+    driver timeout only costs this extra field."""
+    from fvd_tpu.batch import run_pipeline_many
+    from fvd_tpu.providers.coalesce import coalesce_providers
+    from fvd_tpu.providers.factory import production_providers
+
+    ckpt_dir, whisper_kind = _real_geometry_checkpoint_dir(repo_root)
+    log(f"real-geometry section: checkpoints from {ckpt_dir} "
+        f"(whisper: {whisper_kind})")
+    providers = production_providers(checkpoint_dir=ckpt_dir,
+                                     recorded_services=True)
+    assert type(providers.asr).__name__ == "HFWhisperASR", providers.asr
+    assert type(providers.clip).__name__ == "HFClip", providers.clip
+    providers, close = coalesce_providers(providers)
+    try:
+        import dataclasses
+
+        from fvd_tpu.graph import build_graph
+        from fvd_tpu.runtime.scheduler import Scheduler
+        from fvd_tpu.state import State
+
+        dag = build_graph(config, providers)
+        log("real-geometry warmup (compiling whisper-base/ViT-B-32/MiniLM)...")
+        t0 = time.perf_counter()
+        final = Scheduler(dag).invoke(State(input_path=videos[0]))
+        log(f"real-geometry warmup: {time.perf_counter() - t0:.2f}s "
+            f"p={final.fake_probability:.4f}")
+        sample_transcript = (final.transcript or "")[:80]
+
+        pass_vpm = []
+        for attempt in range(3):
+            t0 = time.perf_counter()
+            run_pipeline_many(videos, config, providers, concurrency=8)
+            elapsed = time.perf_counter() - t0
+            vpm = round(60.0 / (elapsed / n_videos), 2)
+            pass_vpm.append(vpm)
+            log(f"  real-geometry pass {attempt + 1}: {elapsed:.2f}s "
+                f"-> {vpm} videos/min")
+            rg = {
+                "value": sorted(pass_vpm)[len(pass_vpm) // 2] if len(pass_vpm) % 2
+                else round(sum(sorted(pass_vpm)[len(pass_vpm) // 2 - 1:
+                                                len(pass_vpm) // 2 + 1]) / 2, 2),
+                "unit": "videos/min",
+                "pass_vpm": list(pass_vpm),
+                "models": "whisper-base+clip-vitb32+minilm-l6",
+                "whisper_weights": whisper_kind,
+                "transcript_sample": sample_transcript,
+            }
+            _RESULT["real_geometry"] = _META["real_geometry"] = rg
+    finally:
+        close()
 
 
 def _devices_or_reexec():
@@ -335,22 +426,25 @@ def main() -> None:
             f"-> {elapsed / n_videos:.2f}s/video "
             f"(host CPU {host_cpu:.1f}s = {100 * host_cpu / elapsed:.0f}% of wall)")
         pass_vpm.append(round(60.0 / (elapsed / n_videos), 2))
+        # headline `value` = MEDIAN of measured passes (the honest sustained
+        # number: spread across passes is tunnel transport, not framework);
+        # best-of-passes stays alongside as `best_vpm`
+        med = round(_median(pass_vpm), 2)
         _RESULT.update({
-            "median_vpm": round(_median(pass_vpm), 2),
+            "metric": metric,
+            "value": med,
+            "unit": "videos/min",
+            "vs_baseline": round(med / 50.0, 3),
+            "median_vpm": med,
             "pass_vpm": list(pass_vpm),
+            **_META,
         })
         if best is None or elapsed < best:
             best, best_spans = elapsed, tracer.summary()
             best_counts = tracer.counts()
             best_cpu = tracer.summary_cpu()
             no_improve = 0
-            _RESULT.update({
-                "metric": metric,
-                "value": round(60.0 / (best / n_videos), 2),
-                "unit": "videos/min",
-                "vs_baseline": round(60.0 / (best / n_videos) / 50.0, 3),
-                **_META,
-            })
+            _RESULT["best_vpm"] = round(60.0 / (best / n_videos), 2)
         else:
             no_improve += 1
         # a recovering tunnel window often regresses for one pass mid-climb;
@@ -388,27 +482,62 @@ def main() -> None:
                 os.replace(os.path.splitext(tmp)[0] + ".wav",
                            os.path.splitext(fake)[0] + ".wav")
                 os.replace(tmp, fake)
-            p_fake = Scheduler(dag).invoke(State(input_path=fake)).fake_probability
+            fake_final = Scheduler(dag).invoke(State(input_path=fake))
+            p_fake = fake_final.fake_probability
             probe = {"sync_p": round(float(probs[0]), 4),
                      "desync_texture_p": round(float(p_fake), 4)}
+            # classification check under the CALIBRATED weights
+            # (tools/calibrate_lr.py): the reference's shipped vector
+            # separates but does not classify on this feature distribution
+            # (VERDICT r3 weak #3) — the calibrated vector must put the fake
+            # above the 0.5 verdict threshold and the genuine clip below it
+            # (reference verdict rule, app.py:332-334)
+            calib_path = os.path.join(repo_root, "assets",
+                                      "lr_weights_calibrated.json")
+            sync_feats_path = os.path.join(
+                "features", os.path.basename(videos[0]) + ".json")
+            if os.path.exists(calib_path) and os.path.exists(sync_feats_path):
+                from fvd_tpu.nodes.lr_fusion import load_weights
+                from fvd_tpu.ops.fusion import predict_host
+
+                calib = load_weights(calib_path)
+                with open(sync_feats_path) as f:
+                    sync_feats = json.load(f)
+                probe["sync_p_cal"] = round(
+                    float(predict_host(sync_feats, calib)), 4)
+                probe["desync_texture_p_cal"] = round(
+                    float(predict_host(fake_final.features, calib)), 4)
+                probe["classified"] = bool(
+                    probe["desync_texture_p_cal"] > 0.5 > probe["sync_p_cal"])
             _RESULT["probe"] = _META["probe"] = probe
             log(f"discrimination probe: {probe}")
         except Exception as e:  # the probe must never cost the headline
             log(f"discrimination probe failed (non-fatal): {e}")
         _close_coalesce()  # join the coalescer threads before reporting
+        if not cpu_backend and os.environ.get("FVD_TPU_BENCH_NO_REAL_GEOM") != "1":
+            # reference-model-geometry measurement (whisper-base / ViT-B/32 /
+            # MiniLM active): the apples-to-apples number vs what the
+            # reference actually computes per video; failure or timeout here
+            # must never cost the already-secured toy-geometry headline
+            try:
+                _real_geometry_section(repo_root, videos, config, n_videos)
+            except Exception as e:
+                log(f"real-geometry section failed (non-fatal): {e}")
     per_video = best / n_videos
-    videos_per_min = 60.0 / per_video
+    median_vpm = _median(pass_vpm)
 
-    log(f"best: {per_video:.2f}s/video; probs={probs}")
+    log(f"best: {per_video:.2f}s/video; median {median_vpm:.1f} videos/min; "
+        f"probs={probs}")
 
     signal.signal(signal.SIGTERM, signal.SIG_DFL)  # past here the normal
     signal.signal(signal.SIGINT, signal.SIG_DFL)   # print is the one line
     print(json.dumps({
         "metric": metric,
-        "value": round(videos_per_min, 2),
+        "value": round(median_vpm, 2),
         "unit": "videos/min",
-        "vs_baseline": round(videos_per_min / 50.0, 3),
-        "median_vpm": round(_median(pass_vpm), 2),
+        "vs_baseline": round(median_vpm / 50.0, 3),
+        "median_vpm": round(median_vpm, 2),
+        "best_vpm": round(60.0 / per_video, 2),
         "pass_vpm": pass_vpm,
         **_META,
     }))

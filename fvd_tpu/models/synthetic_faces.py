@@ -106,6 +106,70 @@ def draw_face(
     return pts.astype(np.float32)
 
 
+def face_shading_realism(img: np.ndarray, cx: float, cy: float, fw: float,
+                         fh: float, rng: np.random.RandomState) -> np.ndarray:
+    """FACE-INTRINSIC realism (round-4 data lever): the procedural face is a
+    flat, razor-edged ellipse, and both failure modes point at that being
+    the detector's crutch — the held-out all-factors cell (0.757,
+    docs/ROUND1_STATUS.md) and the real-photograph probe
+    (tools/eval_external_faces.py: scores 0.44-0.48 on grace_hopper.jpg,
+    just under threshold).  Real faces carry 3D shading, skin texture and
+    soft boundaries (reference capability anchor: the res10 SSD at
+    `v1_keyframes_facetrack.py:39-53` was trained on photographs).  This
+    layers, inside the face ellipse only, without moving the gt box:
+
+    * rim darkening (quadratic radial falloff) + a directional light
+      gradient — the lambertian signature of a lit head;
+    * low-frequency skin mottling (blurred noise, multiplicative);
+    * an optional specular highlight blob (forehead/nose sheen);
+    * a feathered boundary: the face edge alpha-blends into the
+      background over a few pixels instead of a 1-px cliff.
+    """
+    import cv2
+
+    h, w = img.shape[:2]
+    mask = np.zeros((h, w), np.float32)
+    cv2.ellipse(mask, (int(cx), int(cy)), (int(fw / 2), int(fh / 2)),
+                0, 0, 360, 1.0, -1)
+    out = img.astype(np.float32)
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # normalized elliptical radius^2 inside the face
+    r2 = (((xx - cx) / max(fw / 2, 1)) ** 2
+          + ((yy - cy) / max(fh / 2, 1)) ** 2)
+    shade = 1.0 - rng.uniform(0.15, 0.45) * np.clip(r2, 0, 1)  # rim falloff
+    th = rng.uniform(0, 2 * np.pi)
+    direction = ((xx - cx) * np.cos(th) + (yy - cy) * np.sin(th)) / max(fh, 1)
+    shade *= 1.0 + rng.uniform(0.1, 0.35) * np.clip(direction, -0.6, 0.6)
+
+    # low-frequency skin mottling
+    k = int(max(fw, 8)) // 4 * 2 + 1
+    mottle = cv2.GaussianBlur(rng.randn(h, w).astype(np.float32), (k, k), 0)
+    mottle /= max(float(np.abs(mottle).max()), 1e-6)
+    shade *= 1.0 + rng.uniform(0.04, 0.12) * mottle
+
+    # specular sheen (forehead or nose tip)
+    if rng.rand() < 0.6:
+        sx = cx + rng.uniform(-0.15, 0.15) * fw
+        sy = cy - rng.uniform(-0.1, 0.35) * fh
+        sr = rng.uniform(0.08, 0.2) * fw
+        shade += rng.uniform(0.1, 0.3) * np.exp(
+            -(((xx - sx) ** 2 + (yy - sy) ** 2) / max(2 * sr * sr, 1)))
+
+    out *= (1.0 + (shade - 1.0) * mask)[..., None]
+
+    # feathered boundary: alpha-blend a blurred copy along the edge band
+    fk = max(3, int(fw * 0.04)) | 1
+    soft_mask = cv2.GaussianBlur(mask, (fk, fk), 0)
+    edge = np.clip(4.0 * soft_mask * (1.0 - soft_mask), 0.0, 1.0)  # ~edge band
+    blurred = cv2.GaussianBlur(out, (fk, fk), 0)
+    out = out * (1.0 - edge[..., None]) + blurred * edge[..., None]
+
+    np.clip(out, 0, 255, out=out)
+    img[:] = out.astype(np.uint8)
+    return img
+
+
 def photometric_randomize(img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
     """Photometric domain randomization (round-3 held-out lever): real
     captures layer lighting gradients, white-balance shifts, motion blur,
@@ -153,6 +217,7 @@ def photometric_randomize(img: np.ndarray, rng: np.random.RandomState) -> np.nda
 def render_face(
     rng: np.random.RandomState, size: int = 300, aperture: float | None = None,
     augment: bool = False, hard: bool = False, photometric: bool = False,
+    shaded: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (image uint8 [size, size, 3], gt box [4] normalized corners,
     landmarks [68, 2] in pixels).
@@ -214,6 +279,11 @@ def render_face(
     cx = rng.uniform(fw / 2 + 2, size - fw / 2 - 2)
     cy = rng.uniform(fh / 2 + 2, size - fh / 2 - 2)
     pts = draw_face(img, cx, cy, fw, fh, skin, aperture)
+    if shaded:
+        # face-intrinsic shading/texture/soft-edge realism (round-4 lever);
+        # applied before accessories so strokes stay crisp over shaded skin,
+        # before rotation so the light direction rotates with the head
+        img = face_shading_realism(img, cx, cy, fw, fh, rng)
 
     if augment:
         # face-anchored accessory-like strokes (rings near the eyes, bars
@@ -275,7 +345,7 @@ def render_face(
 
 def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300,
                    augment: bool = False, photometric: bool = False,
-                   dense: bool = False):
+                   dense: bool = False, shaded: bool = False):
     """Training batch for the SSD: (frames float mean-sub, labels, loc
     targets) using fvd_tpu.ops.detection matching.  ``augment`` applies the
     robustness augmentations to half of each batch (a quarter in the dense
@@ -303,7 +373,11 @@ def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300,
             hard_i = augment and i % 4 == 0
             photo_i = photometric and i % 2 == 0
         img, box, _ = render_face(rng, size, augment=aug_i, hard=hard_i,
-                                  photometric=photo_i)
+                                  photometric=photo_i,
+                                  # 3/4 shaded, a clean quarter so the
+                                  # in-domain eval doesn't drift (round-4
+                                  # face-intrinsic realism lever)
+                                  shaded=shaded and i % 4 != 3)
         frames[i] = img.astype(np.float32) - np.asarray(MEAN_RGB)
         lab, matched = detection.match_anchors(box[None], A)
         enc = np.array(detection.encode_boxes(matched, A))
@@ -315,7 +389,8 @@ def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300,
 
 
 def landmark_batch(rng: np.random.RandomState, batch: int, crop: int = 128,
-                   augment: bool = False, photometric: bool = False):
+                   augment: bool = False, photometric: bool = False,
+                   shaded: bool = False):
     """Training batch for the hourglass: (crops float 0..1, targets [B,68,2]
     in [0,1]) — rendered faces cropped around the gt box with jitter.
     ``augment`` applies the robustness augmentations to half of each batch;
@@ -330,7 +405,8 @@ def landmark_batch(rng: np.random.RandomState, batch: int, crop: int = 128,
         # pixels (C1's MAR signal), not memorize the template
         img, box, pts = render_face(rng, 256, aperture=rng.uniform(0.0, 1.0),
                                     augment=augment and i % 2 == 0,
-                                    hard=augment and i % 4 == 0)
+                                    hard=augment and i % 4 == 0,
+                                    shaded=shaded and i % 4 != 3)
         if photometric and augment and i % 2 == 0:
             img = photometric_randomize(img, rng)
         size = 256

@@ -49,7 +49,7 @@ def warp_by_rotation(img: np.ndarray, R: np.ndarray, depth: float = 2.0) -> np.n
 
 def pose_batch(
     rng: np.random.RandomState, batch: int, max_angle: float = 40.0,
-    augment: bool = False, photometric: bool = False,
+    augment: bool = False, photometric: bool = False, shaded: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (crops float [B, 128, 128, 3] 0..1, R [B, 3, 3], euler_deg [B, 3]).
     ``augment`` applies the robustness augmentations to half of each batch;
@@ -62,7 +62,8 @@ def pose_batch(
     eulers = np.zeros((batch, 3), np.float64)
     for i in range(batch):
         img, box, _ = render_face(rng, 192, augment=augment and i % 2 == 0,
-                                  hard=augment and i % 4 == 0)
+                                  hard=augment and i % 4 == 0,
+                                  shaded=shaded and i % 4 != 3)
         if photometric and augment and i % 2 == 0:
             img = photometric_randomize(img, rng)
         x1, y1, x2, y2 = (box * 192).astype(int)

@@ -9,8 +9,13 @@ does the same for the landmark regressor (0.83 % of crop held-out vs
 so any further training effort goes at the factor that matters — or the
 numbers show a flat profile, i.e. the checkpoint is at its ceiling.
 
-Crop conventions mirror tools/eval_heldout.py exactly (GT-box crop,
-resize 128; pose additionally warps by a known rotation).
+Crop conventions follow tools/eval_heldout.py (GT-box crop, resize 128;
+pose additionally warps by a known rotation), but render_factored draws
+its rng in a different order than render_face_heldout, so the rows —
+including "ALL (held-out-like)" — are DISTRIBUTION-matched to
+eval_heldout's held-out cells, not sample-identical reproductions at the
+same seed (expect e.g. lmk ~1.08 here vs the 0.83 eval_heldout quotes).
+Per-factor deltas, which are what this tool is for, are unaffected.
 
     python tools/diagnose_lmkpose_heldout.py [--n 64]
 """

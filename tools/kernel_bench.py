@@ -1,13 +1,20 @@
-"""Device-time microbenchmark of the hot coalesced programs.
+"""Device-time + MFU microbenchmark of the hot coalesced programs.
 
 Times each program exactly as the bench's coalescer dispatches it (same
-bucket shapes, warm, block_until_ready) and prints device ms + a rough
-FLOPs-utilization estimate — the roofline check the "speed-of-light" goal
-needs.  The pipeline-level bench measures wall (RTT + host + device); this
-isolates the device component so optimization effort lands where the time
-actually goes.
+bucket shapes, warm, block_until_ready) and prints device ms, analytic
+GFLOP (XLA's own ``compiled.cost_analysis()`` flop count), achieved
+GFLOP/s, and MFU% against the chip's published bf16 matmul peak — the
+roofline check the "speed-of-light" goal needs.  The pipeline-level bench
+measures wall (RTT + host + device); this isolates the device component so
+optimization effort lands where the time actually goes.
 
-    python tools/kernel_bench.py [--cpu] [--reps 20]
+``--real-geometry`` adds the reference-lineup models at their real shapes
+(whisper-base encoder `a2_vad_asr.py:27-30`, CLIP ViT-B/32
+`c2_gesture_narration_check.py:49-54`, MiniLM-L6 `e1_web_evidence.py:334-347`)
+via the fabricated-geometry checkpoints, so the table carries the
+apples-to-apples rows the reference's per-video FLOPs actually live in.
+
+    python tools/kernel_bench.py [--cpu] [--reps 20] [--real-geometry]
 """
 
 from __future__ import annotations
@@ -21,6 +28,29 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+#: published per-chip dense bf16 matmul peaks (FLOP/s).  MFU is reported
+#: against bf16 peak even for f32-dominated programs — conservative (f32
+#: runs the MXU slower), which is the right direction for a roofline claim.
+PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def chip_peak() -> float | None:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for name, peak in PEAK_BF16.items():
+        if kind.startswith(name):
+            return peak
+    return None
+
 
 def timeit(fn, reps: int) -> float:
     import jax
@@ -33,25 +63,28 @@ def timeit(fn, reps: int) -> float:
     return (time.perf_counter() - t0) / reps
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--reps", type=int, default=20)
-    args = ap.parse_args()
-    if args.cpu:
-        import fvd_tpu
+def measure(rows, name, fn, args, n_items, reps, static=None):
+    """Jit fn over args, time it, and read XLA's analytic flop count."""
+    import jax
 
-        fvd_tpu.force_cpu()
+    jfn = jax.jit(fn, static_argnames=static) if static else jax.jit(fn)
+    flops = None
+    try:
+        cost = jfn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception as e:  # pragma: no cover - informative degradation
+        print(f"{name}: cost_analysis unavailable ({e})")
+    secs = timeit(lambda: jfn(*args), reps)
+    rows.append((name, secs, n_items, flops))
 
+
+def toy_rows(rows, ckpt, reps):
     import jax
     import jax.numpy as jnp
 
-    print(f"backend: {jax.default_backend()}")
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ckpt = os.path.join(repo, "checkpoints")
     rng = np.random.RandomState(0)
-    rows = []
-
     from fvd_tpu.models import face_ssd, landmarks_fan
 
     ssd_width = 32
@@ -68,12 +101,9 @@ def main() -> int:
     det_b = 256
     frames = jnp.asarray(rng.randint(0, 255, (det_b, 240, 320, 3), np.uint8))
     jax.block_until_ready(frames)
-
-    def run_det():
-        return face_ssd.detect_batch_jit(ssd_params, frames, width=ssd_width)
-
-    s = timeit(run_det, args.reps)
-    rows.append(("det_batch@256 320x240", s, det_b))
+    measure(rows, "det_batch@256 320x240",
+            lambda p, f: face_ssd.detect_batch_jit(p, f, width=ssd_width),
+            (ssd_params, frames), det_b, reps)
 
     # --- fused landmark+pose @ its bucket (512 dets over the frame tensor) ---
     lm_b = 512
@@ -82,38 +112,24 @@ def main() -> int:
     owners = rng.randint(0, det_b, lm_b).astype(np.int32)
     boxes_d, owners_d = jnp.asarray(boxes), jnp.asarray(owners)
     jax.block_until_ready((boxes_d, owners_d))
-
-    def run_lmpose():
-        return landmarks_fan.landmarks_pose_from_frames(
-            lmk_params, pose_params, frames, boxes_d, owners_d,
-            320.0, 240.0, 0.1, width=32, pose_width=32)
-
-    s = timeit(run_lmpose, args.reps)
-    rows.append(("lmpose_fused@512", s, lm_b))
-
-    def run_lm_only():
-        return landmarks_fan.landmarks_from_frames(
-            lmk_params, frames, boxes_d, owners_d, width=32)
-
-    s = timeit(run_lm_only, args.reps)
-    rows.append(("landmarks_only@512", s, lm_b))
+    measure(rows, "lmpose_fused@512",
+            lambda lp, pp, f, b, o: landmarks_fan.landmarks_pose_from_frames(
+                lp, pp, f, b, o, 320.0, 240.0, 0.1, width=32, pose_width=32),
+            (lmk_params, pose_params, frames, boxes_d, owners_d), lm_b, reps)
+    measure(rows, "landmarks_only@512",
+            lambda lp, f, b, o: landmarks_fan.landmarks_from_frames(
+                lp, f, b, o, width=32),
+            (lmk_params, frames, boxes_d, owners_d), lm_b, reps)
 
     # --- OCR packed-mask device detection @ bucket (256 frames) ---
-    try:
+    det_path = os.path.join(ckpt, "ocr_det.npz")
+    if os.path.exists(det_path):
         from fvd_tpu.models import ocr as ocr_mod
 
-        det_path = os.path.join(ckpt, "ocr_det.npz")
-        if os.path.exists(det_path):
-            oparams = landmarks_fan.load_params(
-                det_path, ocr_mod.init_detector(jax.random.PRNGKey(3)))
-
-            def run_ocr_det():
-                return ocr_mod.detect_packed_mask(oparams, frames)
-
-            s = timeit(run_ocr_det, args.reps)
-            rows.append(("ocr_det_packed@256", s, det_b))
-    except Exception as e:  # pragma: no cover - informative skip
-        print(f"ocr det skipped: {e}")
+        oparams = landmarks_fan.load_params(
+            det_path, ocr_mod.init_detector(jax.random.PRNGKey(3)))
+        measure(rows, "ocr_det_packed@256", ocr_mod.detect_packed_mask,
+                (oparams, frames), det_b, reps)
 
     # --- OneEuro smoothing scan @ bucket (8 videos x 256 steps) ---
     from fvd_tpu.nodes._smooth import _oe_batch_fn
@@ -128,28 +144,116 @@ def main() -> int:
     valid = jnp.ones((B, T), bool)
     fn = _oe_batch_fn((0.5, 0.1, 1.0))
     jax.block_until_ready((carry, times, vals))
+    measure(rows, "oe_smooth@8x256", fn, (carry, times, vals, valid), B, reps)
 
-    def run_smooth():
-        return fn(carry, times, vals, valid)
-
-    s = timeit(run_smooth, args.reps)
-    rows.append(("oe_smooth@8x256", s, B))
-
-    # --- C1 lip-sync program (batch of 8 videos x 900 samples) ---
+    # --- C1 lip-sync program (900 samples) ---
     from fvd_tpu.ops.lipsync import lip_sync_score_xla
 
     sig = jnp.asarray(rng.rand(900).astype(np.float32))
     env = jnp.asarray(rng.rand(900).astype(np.float32))
+    measure(rows, "lipsync@900",
+            lambda s, e: lip_sync_score_xla(s, e, 30.0), (sig, env), 1, reps)
 
-    def run_lip():
-        return lip_sync_score_xla(sig, env, 30.0)
 
-    s = timeit(run_lip, args.reps)
-    rows.append(("lipsync@900", s, 1))
+def real_geometry_rows(rows, reps):
+    """The reference lineup at real shapes, random-init fabricated geometry
+    (FLOPs and ms are weight-independent)."""
+    import jax
+    import jax.numpy as jnp
 
-    print(f"\n{'program':28s} {'device+dispatch ms':>18s} {'ms/item':>9s}")
-    for name, secs, n in rows:
-        print(f"{name:28s} {secs * 1e3:18.2f} {secs * 1e3 / n:9.3f}")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from make_hf_geometry_checkpoints import hf_geometry_cache_dir
+
+    hf_dir = hf_geometry_cache_dir()
+    rng = np.random.RandomState(0)
+
+    # --- whisper-base encoder fwd @ the 30 s window (A2's per-chunk cost) ---
+    from transformers import FlaxWhisperForConditionalGeneration
+
+    wmodel = FlaxWhisperForConditionalGeneration.from_pretrained(
+        os.path.join(hf_dir, "whisper"), dtype=jnp.bfloat16)
+    wparams = wmodel.params
+    feats = jnp.asarray(rng.randn(1, 80, 3000).astype(np.float32))
+
+    def whisper_enc(p, f):
+        return wmodel.module.apply(
+            {"params": p}, f, method=wmodel.module.encode).last_hidden_state
+
+    measure(rows, "whisper_base_enc@30s", whisper_enc, (wparams, feats), 1, reps)
+
+    # --- CLIP ViT-B/32 paired image+text similarity @ 8 keyframes (C2) ---
+    from transformers import FlaxCLIPModel
+
+    cmodel = FlaxCLIPModel.from_pretrained(os.path.join(hf_dir, "clip"),
+                                           dtype=jnp.bfloat16)
+    cb = 8
+    pixels = jnp.asarray(rng.randn(cb, 224, 224, 3).astype(np.float32))
+    ids = jnp.asarray(rng.randint(2, 49000, (cb, 77)).astype(np.int32))
+    mask = jnp.ones((cb, 77), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(77)[None], (cb, 77))
+
+    def clip_sim(p, px, i, m, ps):
+        out = cmodel.module.apply({"params": p}, input_ids=i, pixel_values=px,
+                                  attention_mask=m, position_ids=ps)
+        ie = out.image_embeds
+        te = out.text_embeds
+        ie = ie / (jnp.linalg.norm(ie, axis=-1, keepdims=True) + 1e-8)
+        te = te / (jnp.linalg.norm(te, axis=-1, keepdims=True) + 1e-8)
+        return (ie * te).sum(-1)
+
+    measure(rows, "clip_vitb32@8pairs", clip_sim, (cmodel.params, pixels, ids, mask, pos),
+            cb, reps)
+
+    # --- MiniLM-L6 sentence encodings @ 16 texts x 128 tokens (E1 rank) ---
+    from transformers import FlaxAutoModel
+
+    mmodel = FlaxAutoModel.from_pretrained(os.path.join(hf_dir, "minilm"),
+                                           dtype=jnp.bfloat16)
+    mb = 16
+    mids = jnp.asarray(rng.randint(200, 30000, (mb, 128)).astype(np.int32))
+    mmask = jnp.ones((mb, 128), jnp.int32)
+
+    def minilm(p, i, m):
+        hidden = mmodel.module.apply({"params": p}, i, m).last_hidden_state
+        w = m[..., None].astype(hidden.dtype)
+        return (hidden * w).sum(1) / w.sum(1).clip(1e-9)
+
+    measure(rows, "minilm_l6@16x128", minilm, (mmodel.params, mids, mmask), mb, reps)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--real-geometry", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import fvd_tpu
+
+        fvd_tpu.force_cpu()
+
+    import jax
+
+    print(f"backend: {jax.default_backend()} "
+          f"device: {jax.devices()[0].device_kind}")
+    peak = chip_peak()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = os.path.join(repo, "checkpoints")
+    rows: list = []
+
+    toy_rows(rows, ckpt, args.reps)
+    if args.real_geometry:
+        real_geometry_rows(rows, args.reps)
+
+    peak_s = f"{peak / 1e12:.0f} TFLOP/s bf16" if peak else "unknown"
+    print(f"\npeak used for MFU: {peak_s}")
+    print(f"{'program':26s} {'ms':>9s} {'ms/item':>9s} {'GFLOP':>9s} "
+          f"{'GFLOP/s':>9s} {'MFU%':>7s}")
+    for name, secs, n, flops in rows:
+        gf = f"{flops / 1e9:9.2f}" if flops else "        -"
+        rate = f"{flops / secs / 1e9:9.1f}" if flops else "        -"
+        mfu = f"{100 * flops / secs / peak:7.2f}" if (flops and peak) else "      -"
+        print(f"{name:26s} {secs * 1e3:9.2f} {secs * 1e3 / n:9.3f} {gf} {rate} {mfu}")
     return 0
 
 

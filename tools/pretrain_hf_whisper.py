@@ -258,17 +258,20 @@ def main():
     signal.signal(signal.SIGTERM, on_term)
 
     # --- eval: held-out phrases at slot 0, greedy generate ---
+    # params stay ON DEVICE (pass via generate's params kwarg): a device_get
+    # + re-upload of the 290 MB tree per eval costs ~20 min through a
+    # degraded tunnel window (measured 2026-08-20) — the data must not move
     def evaluate(p, n=64, log_samples=2):
-        model.params = p  # generate() reads model.params
         idx = jnp.asarray(np.arange(n, dtype=np.int32)[:, None])
         off = jnp.zeros((n, 1), jnp.int32)
-        feats = np.asarray(compose_canvas_batch_eval(eval_pool_dev, idx, off))
+        feats = compose_canvas_batch_eval(eval_pool_dev, idx, off)
         exact = char_ok = char_tot = 0
         decoded_all = []
         for i in range(0, n, 16):
-            ids = model.generate(jnp.asarray(feats[i:i + 16]),
+            ids = model.generate(feats[i:i + 16], params=p,
                                  max_length=MAX_CHARS + 6).sequences
-            decoded_all += tok.batch_decode(ids, skip_special_tokens=True)
+            decoded_all += tok.batch_decode(np.asarray(ids),
+                                            skip_special_tokens=True)
         for d, t in zip(decoded_all, eval_texts[:n]):
             d = d.strip()
             exact += d == t
@@ -295,14 +298,14 @@ def main():
             print(f"[whisper] step {i:5d} loss {float(loss):.4f} "
                   f"({time.perf_counter() - t0:.1f}s)", flush=True)
         if args.eval_every and i > 0 and i % args.eval_every == 0:
-            ex, ca = evaluate(jax.device_get(params), n=32)
+            ex, ca = evaluate(params, n=32)
             print(f"[whisper] step {i}: held-out exact={ex:.3f} char={ca:.3f}",
                   flush=True)
         if args.save_every and i > 0 and i % args.save_every == 0:
             save(jax.device_get(params), tag=f"@{i}")
 
     final = jax.device_get(params)
-    ex, ca = evaluate(final, n=64, log_samples=4)
+    ex, ca = evaluate(params, n=64, log_samples=4)
     print(f"[whisper] FINAL held-out (64 phrases): exact={ex:.3f} char={ca:.3f}",
           flush=True)
     save(final)

@@ -23,7 +23,8 @@ import numpy as np
 
 def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
                    resume: bool = False, lr: float = 1e-3, augment: bool = False,
-                   photometric: bool = False, dense: bool = False):
+                   photometric: bool = False, dense: bool = False,
+                   shading: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -52,7 +53,7 @@ def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
     for i in range(start_step, start_step + steps):
         frames, labels, locs, _ = detector_batch(rng, batch, augment=augment,
                                                   photometric=photometric,
-                                                  dense=dense)
+                                                  dense=dense, shaded=shading)
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(frames), jnp.asarray(labels), jnp.asarray(locs)
         )
@@ -91,7 +92,7 @@ def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
 
 def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1,
                     resume: bool = False, lr: float = 1e-3, augment: bool = False,
-                    photometric: bool = False):
+                    photometric: bool = False, shading: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -109,7 +110,8 @@ def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1,
     t0 = time.perf_counter()
     for i in range(steps):
         crops, targets = landmark_batch(rng, batch, augment=augment,
-                                        photometric=photometric)
+                                        photometric=photometric,
+                                        shaded=shading)
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(crops), jnp.asarray(targets)
         )
@@ -134,7 +136,7 @@ def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1,
 
 def train_pose(steps: int, batch: int, width: int, out: str, seed: int = 2,
                resume: bool = False, lr: float = 1e-3, augment: bool = False,
-               photometric: bool = False):
+               photometric: bool = False, shading: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -160,7 +162,7 @@ def train_pose(steps: int, batch: int, width: int, out: str, seed: int = 2,
     t0 = time.perf_counter()
     for i in range(steps):
         crops, Rs, _ = pose_batch(rng, batch, augment=augment,
-                                  photometric=photometric)
+                                  photometric=photometric, shaded=shading)
         params, opt_state, loss = step(params, opt_state, jnp.asarray(crops),
                                        jnp.asarray(Rs))
         if i % 100 == 0 or i == steps - 1:
@@ -198,6 +200,13 @@ def main():
                          "gradients, sensor noise, motion blur, JPEG "
                          "artifacts) on the augmented half of detector "
                          "batches — the round-3 held-out data-realism lever")
+    ap.add_argument("--shading", action="store_true",
+                    help="face-intrinsic realism: rim/directional shading, "
+                         "skin mottling, specular sheen, feathered face "
+                         "boundary on 3/4 of each batch (round-4 lever — "
+                         "synthetic_faces.face_shading_realism; targets the "
+                         "all-factors held-out cell AND real-photo "
+                         "transfer, tools/eval_external_faces.py)")
     ap.add_argument("--augment", action="store_true",
                     help="robustness augmentations on half of each batch "
                          "(a quarter gets the dense factor-combination "
@@ -219,17 +228,18 @@ def main():
         train_detector(args.steps, args.batch, args.det_width,
                        os.path.join(args.out_dir, "face_ssd.npz"),
                        resume=args.resume, lr=args.lr, augment=args.augment,
-                       photometric=args.photometric, dense=args.dense)
+                       photometric=args.photometric, dense=args.dense,
+                       shading=args.shading)
     if args.only in (None, "lmk"):
         train_landmarks(args.steps, args.batch, args.lmk_width,
                         os.path.join(args.out_dir, "landmarks.npz"),
                         resume=args.resume, lr=args.lr, augment=args.augment,
-                        photometric=args.photometric)
+                        photometric=args.photometric, shading=args.shading)
     if args.only in (None, "pose"):
         train_pose(args.steps, args.batch, 32,
                    os.path.join(args.out_dir, "pose.npz"),
                    resume=args.resume, lr=args.lr, augment=args.augment,
-                   photometric=args.photometric)
+                   photometric=args.photometric, shading=args.shading)
 
 
 if __name__ == "__main__":
