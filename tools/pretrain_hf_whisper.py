@@ -68,8 +68,15 @@ def gen_phrases(rng: np.random.RandomState, n: int, taken=()) -> list:
 
 
 def render_pool(phrases: list, rng: np.random.RandomState,
-                hard_frac: float = 0.3) -> np.ndarray:
-    """[M, TILE_FRAMES*160] float32 audio, sub-hop placement jitter baked in."""
+                hard_frac: float = 0.3, noise_max: float = 0.0) -> np.ndarray:
+    """[M, TILE_FRAMES*160] float32 audio, sub-hop placement jitter baked in.
+
+    ``noise_max`` > 0 bakes a per-tile additive dither with amplitude
+    ~U(0, noise_max) into the pool — the inference-dither convention of the
+    dim-192 checkpoints (CLAUDE.md: ASR checkpoints need dither matching
+    their training noise floor; asr_formant ships dither 0.002).  A
+    noise-free-trained whisper collapses 0.83->0.28 exact under that 0.002
+    dither (round-4 diagnostic), so the pool must carry it."""
     from fvd_tpu.models.synthetic_speech import formant_speech, formant_speech_hard
 
     buf = np.zeros((len(phrases), TILE_FRAMES * 160), np.float32)
@@ -81,6 +88,9 @@ def render_pool(phrases: list, rng: np.random.RandomState,
         pad = rng.randint(0, 160)  # sub-hop shift (np.roll'd fake audio)
         n = min(len(a), buf.shape[1] - pad)
         buf[i, pad:pad + n] = a[:n]
+        if noise_max > 0:
+            buf[i] += rng.uniform(0, noise_max) * rng.randn(
+                buf.shape[1]).astype(np.float32)
     return buf
 
 
@@ -149,6 +159,9 @@ def main():
     ap.add_argument("--save-every", type=int, default=1000)
     ap.add_argument("--eval-every", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--noise-max", type=float, default=0.0,
+                    help="bake per-tile dither ~U(0,noise_max) into the "
+                         "pool (see render_pool)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="d64 2+2 geometry — CPU smoke test of the trainer "
@@ -197,9 +210,10 @@ def main():
     train_texts = gen_phrases(rng, args.pool)
     eval_texts = gen_phrases(rng, 64, taken=train_texts)
     print(f"rendering {args.pool}+64 phrases...", flush=True)
-    pool_audio = render_pool(train_texts, rng)
+    pool_audio = render_pool(train_texts, rng, noise_max=args.noise_max)
     eval_audio = render_pool(eval_texts, np.random.RandomState(args.seed + 1),
-                             hard_frac=0.0)  # eval on the base (bench) family
+                             hard_frac=0.0,  # eval on the base (bench) family
+                             noise_max=args.noise_max)
     mel_filters = np.ascontiguousarray(
         processor.feature_extractor.mel_filters, np.float32)
     pool_dev = pool_power_mels(pool_audio, mel_filters)
