@@ -336,8 +336,22 @@ def main() -> None:
             checkpoint_dir=ckpt_dir, recorded_services=True,
         )
         # the metric name promises real trained forwards — refuse to publish
-        # a random-init number under it
-        assert type(providers.asr).__name__ == "JaxASR", providers.asr
+        # a random-init number under it.  Two trained A2s are legitimate:
+        # the dim-192 JaxASR, and (since round 4) the trained whisper-base
+        # checkpoints/hf/whisper, which the factory auto-prefers and which
+        # beats the dim-192 on the paired node-level eval (word acc 1.000
+        # vs 0.925, docs/results_r4/whisper_paired.json) — the headline then
+        # measures the SHIPPED production config at reference ASR scale.
+        asr_kind = type(providers.asr).__name__
+        assert asr_kind in ("JaxASR", "HFWhisperASR"), providers.asr
+        if asr_kind == "HFWhisperASR":
+            meta_path = os.path.join(ckpt_dir, "hf", "whisper",
+                                     "fvd_train_meta.json")
+            assert os.path.exists(meta_path), (
+                "HFWhisperASR active but no fvd_train_meta.json - refusing "
+                "to bench a random-init whisper under the real-models metric")
+        _META["a2_asr"] = ("whisper-base-trained" if asr_kind == "HFWhisperASR"
+                           else "dim-192")
         # wrap ONCE so the warmup run compiles the same fixed-bucket
         # coalesced programs the measured overlapped passes will use
         if cpu_backend:

@@ -193,6 +193,14 @@ class HFWhisperASR:
         # frontend geometry the extractor's own slaney filter bank runs
         # through the jitted device frontend instead (<1e-5 from the host
         # path, tests/test_whisper_frontend.py)
+        # HF's Flax generate runs its greedy loop EAGERLY: one device
+        # dispatch per decoder step (x max_new_tokens=320) and params
+        # re-uploaded from host numpy — measured ~12 s/video through the
+        # tunnel (bench r4 span node/A2).  Jitting the whole generate
+        # compiles the loop to ONE lax.while_loop dispatch per 30 s window
+        # and pins the params on device once.
+        self._gen_cache: dict = {}
+        self._dev_params = None
         self._mel_filters = None
         fe = getattr(processor, "feature_extractor", None)
         if (fe is not None and getattr(fe, "sampling_rate", None) == 16000
@@ -236,6 +244,27 @@ class HFWhisperASR:
         out[0, :m, :t] = mel[:t, :m].T
         return out
 
+    def _generate(self, feats) -> np.ndarray:
+        """Greedy decode of one feature window as a single compiled device
+        program (jit per feats shape; params device-resident)."""
+        import jax
+        import jax.numpy as jnp
+
+        max_len = min(self.max_new_tokens, self.model.config.max_target_positions)
+        key = (tuple(feats.shape), max_len)
+        fn = self._gen_cache.get(key)
+        if fn is None:
+            if self._dev_params is None:
+                self._dev_params = jax.device_put(self.model.params)
+
+            def gen(f, p):
+                return self.model.generate(f, params=p,
+                                           max_length=max_len).sequences
+
+            fn = jax.jit(gen)
+            self._gen_cache[key] = fn
+        return np.asarray(fn(jnp.asarray(feats), self._dev_params))
+
     def transcribe(self, audio_path: str, audio=None) -> Optional[Dict[str, Any]]:
         from fvd_tpu.utils.wav import read_wav, to_mono
 
@@ -260,8 +289,7 @@ class HFWhisperASR:
             feats = self._features(piece, sr)
             # dense 30 s windows transcribe to ~1 token/char on the
             # fabricated byte-level vocabulary — 128 would truncate
-            max_len = min(self.max_new_tokens, self.model.config.max_target_positions)
-            ids = self.model.generate(feats, max_length=max_len).sequences
+            ids = self._generate(feats)
             if self.processor is not None:
                 text = self.processor.batch_decode(ids, skip_special_tokens=True)[0].strip()
             elif self._decode_ids is not None:
