@@ -52,15 +52,46 @@ def chip_peak() -> float | None:
     return None
 
 
-def timeit(fn, reps: int) -> float:
+def _fence(out):
+    """Force one output element to host — the only reliable completion
+    fence on the axon platform, where ``jax.block_until_ready`` returns
+    immediately on un-materialized tunnel arrays (measured 2026-08-21:
+    det_batch@256 "completed" in 65 us unfenced vs 38.9 ms fetch-fenced)."""
     import jax
 
-    jax.block_until_ready(fn())  # warm/compile
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0])
+
+
+def timeit(fn, reps: int) -> float:
+    """Amortized per-execution time: enqueue ``reps`` executions, fetch-
+    fence only the LAST output.
+
+    Device execution is FIFO per stream, so the last output materializing
+    implies all prior executions completed; one tunnel RTT + 4-byte fetch
+    amortizes over reps instead of dominating every rep (RTT measured at
+    2-28 ms depending on window vs 2-6 ms device times for the real-
+    geometry programs).  Best of 3 rounds discards tunnel hiccups."""
+    _fence(fn())  # warm/compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps - 1):
+            fn()
+        _fence(fn())
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def rtt_floor(reps: int) -> float:
+    """Fetch-fenced median of a trivial device program — the pure
+    dispatch+RTT+fetch cost a row pays independent of its compute."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros((8,), jnp.float32)
+    f = jax.jit(lambda v: v + 1.0)
+    return timeit(lambda: f(x), reps)
 
 
 def measure(rows, name, fn, args, n_items, reps, static=None):
@@ -176,8 +207,9 @@ def real_geometry_rows(rows, reps):
     feats = jnp.asarray(rng.randn(1, 80, 3000).astype(np.float32))
 
     def whisper_enc(p, f):
-        return wmodel.module.apply(
-            {"params": p}, f, method=wmodel.module.encode).last_hidden_state
+        # model-level encode (the module has no 'encode' attribute outside
+        # setup); returns FlaxBaseModelOutput for the 1500-position memory
+        return wmodel.encode(input_features=f, params=p).last_hidden_state
 
     measure(rows, "whisper_base_enc@30s", whisper_enc, (wparams, feats), 1, reps)
 
@@ -245,15 +277,25 @@ def main() -> int:
     if args.real_geometry:
         real_geometry_rows(rows, args.reps)
 
+    rtt = rtt_floor(args.reps)
     peak_s = f"{peak / 1e12:.0f} TFLOP/s bf16" if peak else "unknown"
-    print(f"\npeak used for MFU: {peak_s}")
-    print(f"{'program':26s} {'ms':>9s} {'ms/item':>9s} {'GFLOP':>9s} "
-          f"{'GFLOP/s':>9s} {'MFU%':>7s}")
+    print(f"\npeak used for MFU: {peak_s}; measured RTT floor "
+          f"{rtt * 1e3:.2f} ms (subtracted for dev-ms/MFU; rows whose wall "
+          f"is within 20% of the floor are RTT-bound: MFU reads '-')")
+    print(f"{'program':26s} {'wall ms':>9s} {'dev ms':>9s} {'ms/item':>9s} "
+          f"{'GFLOP':>9s} {'GFLOP/s':>9s} {'MFU%':>7s}")
     for name, secs, n, flops in rows:
+        dev = max(secs - rtt, 0.0)
+        rtt_bound = secs < rtt * 1.2
         gf = f"{flops / 1e9:9.2f}" if flops else "        -"
-        rate = f"{flops / secs / 1e9:9.1f}" if flops else "        -"
-        mfu = f"{100 * flops / secs / peak:7.2f}" if (flops and peak) else "      -"
-        print(f"{name:26s} {secs * 1e3:9.2f} {secs * 1e3 / n:9.3f} {gf} {rate} {mfu}")
+        if flops and dev > 0 and not rtt_bound:
+            rate = f"{flops / dev / 1e9:9.1f}"
+            mfu = (f"{100 * flops / dev / peak:7.2f}" if peak else "      -")
+        else:
+            rate = "        -"
+            mfu = "      -"
+        print(f"{name:26s} {secs * 1e3:9.2f} {dev * 1e3:9.2f} "
+              f"{dev * 1e3 / n:9.3f} {gf} {rate} {mfu}")
     return 0
 
 
