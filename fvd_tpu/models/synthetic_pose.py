@@ -50,19 +50,26 @@ def warp_by_rotation(img: np.ndarray, R: np.ndarray, depth: float = 2.0) -> np.n
 def pose_batch(
     rng: np.random.RandomState, batch: int, max_angle: float = 40.0,
     augment: bool = False, photometric: bool = False, shaded: bool = False,
+    hard_half: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (crops float [B, 128, 128, 3] 0..1, R [B, 3, 3], euler_deg [B, 3]).
     ``augment`` applies the robustness augmentations to half of each batch;
     ``photometric`` additionally domain-randomizes that half (the round-3
-    data-realism lever, models/synthetic_faces.photometric_randomize)."""
+    data-realism lever, models/synthetic_faces.photometric_randomize).
+    ``hard_half`` upgrades the WHOLE augmented half to hard renders
+    (accessories at p 0.9 + dense occluders) instead of a quarter — the
+    round-4 per-factor diagnostic pinned pose's held-out gap on the
+    accessories factor (+1.6 deg, tools/diagnose_lmkpose_heldout.py)."""
     import cv2
 
     crops = np.zeros((batch, CROP_SIZE, CROP_SIZE, 3), np.float32)
     Rs = np.zeros((batch, 3, 3), np.float64)
     eulers = np.zeros((batch, 3), np.float64)
     for i in range(batch):
-        img, box, _ = render_face(rng, 192, augment=augment and i % 2 == 0,
-                                  hard=augment and i % 4 == 0,
+        aug_i = augment and i % 2 == 0
+        img, box, _ = render_face(rng, 192, augment=aug_i,
+                                  hard=aug_i if hard_half
+                                  else (augment and i % 4 == 0),
                                   shaded=shaded and i % 4 != 3)
         if photometric and augment and i % 2 == 0:
             img = photometric_randomize(img, rng)

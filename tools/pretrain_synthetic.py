@@ -136,7 +136,8 @@ def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1,
 
 def train_pose(steps: int, batch: int, width: int, out: str, seed: int = 2,
                resume: bool = False, lr: float = 1e-3, augment: bool = False,
-               photometric: bool = False, shading: bool = False):
+               photometric: bool = False, shading: bool = False,
+               hard_half: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -162,7 +163,8 @@ def train_pose(steps: int, batch: int, width: int, out: str, seed: int = 2,
     t0 = time.perf_counter()
     for i in range(steps):
         crops, Rs, _ = pose_batch(rng, batch, augment=augment,
-                                  photometric=photometric, shaded=shading)
+                                  photometric=photometric, shaded=shading,
+                                  hard_half=hard_half)
         params, opt_state, loss = step(params, opt_state, jnp.asarray(crops),
                                        jnp.asarray(Rs))
         if i % 100 == 0 or i == steps - 1:
@@ -200,6 +202,11 @@ def main():
                          "gradients, sensor noise, motion blur, JPEG "
                          "artifacts) on the augmented half of detector "
                          "batches — the round-3 held-out data-realism lever")
+    ap.add_argument("--hard-half", action="store_true",
+                    help="pose only: the whole augmented half renders hard "
+                         "(accessories p0.9 + dense occluders) — targets "
+                         "the accessories factor the round-4 diagnostic "
+                         "pinned as pose's held-out binder")
     ap.add_argument("--shading", action="store_true",
                     help="face-intrinsic realism: rim/directional shading, "
                          "skin mottling, specular sheen, feathered face "
@@ -239,7 +246,8 @@ def main():
         train_pose(args.steps, args.batch, 32,
                    os.path.join(args.out_dir, "pose.npz"),
                    resume=args.resume, lr=args.lr, augment=args.augment,
-                   photometric=args.photometric, shading=args.shading)
+                   photometric=args.photometric, shading=args.shading,
+                   hard_half=args.hard_half)
 
 
 if __name__ == "__main__":
