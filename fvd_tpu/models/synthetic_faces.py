@@ -390,12 +390,16 @@ def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300,
 
 def landmark_batch(rng: np.random.RandomState, batch: int, crop: int = 128,
                    augment: bool = False, photometric: bool = False,
-                   shaded: bool = False):
+                   shaded: bool = False, hard_half: bool = False):
     """Training batch for the hourglass: (crops float 0..1, targets [B,68,2]
     in [0,1]) — rendered faces cropped around the gt box with jitter.
     ``augment`` applies the robustness augmentations to half of each batch;
     ``photometric`` additionally domain-randomizes the augmented half
-    (lighting, sensor noise, blur, JPEG — the round-3 data-realism lever)."""
+    (lighting, sensor noise, blur, JPEG — the round-3 data-realism lever).
+    ``hard_half`` upgrades the whole augmented half to hard renders
+    (accessories p 0.9 + dense occluders) — the accessories factor is the
+    landmark regressor's #2 held-out binder (round-4 per-factor
+    diagnostic: 0.599 vs 0.466 baseline)."""
     import cv2
 
     crops = np.zeros((batch, crop, crop, 3), np.float32)
@@ -403,9 +407,11 @@ def landmark_batch(rng: np.random.RandomState, batch: int, crop: int = 128,
     for i in range(batch):
         # varied mouth aperture: the regressor must read the opening from
         # pixels (C1's MAR signal), not memorize the template
+        aug_i = augment and i % 2 == 0
         img, box, pts = render_face(rng, 256, aperture=rng.uniform(0.0, 1.0),
-                                    augment=augment and i % 2 == 0,
-                                    hard=augment and i % 4 == 0,
+                                    augment=aug_i,
+                                    hard=aug_i if hard_half
+                                    else (augment and i % 4 == 0),
                                     shaded=shaded and i % 4 != 3)
         if photometric and augment and i % 2 == 0:
             img = photometric_randomize(img, rng)

@@ -92,7 +92,8 @@ def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
 
 def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1,
                     resume: bool = False, lr: float = 1e-3, augment: bool = False,
-                    photometric: bool = False, shading: bool = False):
+                    photometric: bool = False, shading: bool = False,
+                    hard_half: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -111,7 +112,7 @@ def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1,
     for i in range(steps):
         crops, targets = landmark_batch(rng, batch, augment=augment,
                                         photometric=photometric,
-                                        shaded=shading)
+                                        shaded=shading, hard_half=hard_half)
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(crops), jnp.asarray(targets)
         )
@@ -203,7 +204,7 @@ def main():
                          "artifacts) on the augmented half of detector "
                          "batches — the round-3 held-out data-realism lever")
     ap.add_argument("--hard-half", action="store_true",
-                    help="pose only: the whole augmented half renders hard "
+                    help="lmk/pose: the whole augmented half renders hard "
                          "(accessories p0.9 + dense occluders) — targets "
                          "the accessories factor the round-4 diagnostic "
                          "pinned as pose's held-out binder")
@@ -241,7 +242,8 @@ def main():
         train_landmarks(args.steps, args.batch, args.lmk_width,
                         os.path.join(args.out_dir, "landmarks.npz"),
                         resume=args.resume, lr=args.lr, augment=args.augment,
-                        photometric=args.photometric, shading=args.shading)
+                        photometric=args.photometric, shading=args.shading,
+                        hard_half=args.hard_half)
     if args.only in (None, "pose"):
         train_pose(args.steps, args.batch, 32,
                    os.path.join(args.out_dir, "pose.npz"),
