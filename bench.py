@@ -110,46 +110,56 @@ def _real_geometry_checkpoint_dir(repo_root: str) -> tuple:
     return d, whisper_kind
 
 
-def _real_geometry_section(repo_root, videos, config, n_videos):
-    """Measure videos/min with the reference-geometry models active — the
-    apples-to-apples perf number VERDICT r3 'missing #1' asked for.  Runs
-    after the toy-geometry headline is already secured in _RESULT, so a
-    driver timeout only costs this extra field."""
+def _toy_geometry_checkpoint_dir(repo_root: str) -> str:
+    """A checkpoint dir WITHOUT hf/ — the dim-192 first-party lineup, for
+    the comparison field once the headline itself runs reference geometry
+    (VERDICT r4 #6: 'keep the toy number as a field')."""
+    d = tempfile.mkdtemp(prefix="fvd_toygeom_ckpt_")
+    src_ckpt = os.path.join(repo_root, "checkpoints")
+    for f in os.listdir(src_ckpt):
+        if f.endswith((".npz", ".json")):
+            os.symlink(os.path.join(src_ckpt, f), os.path.join(d, f))
+    return d
+
+
+def _variant_section(repo_root, videos, config, n_videos, *, key, ckpt_dir,
+                     models_label, extra_meta=None, n_passes=3,
+                     assert_hf=False):
+    """Measure videos/min with an alternate checkpoint lineup — runs after
+    the headline is already secured in _RESULT, so a driver timeout only
+    costs this extra field."""
     from fvd_tpu.batch import run_pipeline_many
     from fvd_tpu.providers.coalesce import coalesce_providers
     from fvd_tpu.providers.factory import production_providers
 
-    ckpt_dir, whisper_kind = _real_geometry_checkpoint_dir(repo_root)
-    log(f"real-geometry section: checkpoints from {ckpt_dir} "
-        f"(whisper: {whisper_kind})")
+    log(f"{key} section: checkpoints from {ckpt_dir}")
     providers = production_providers(checkpoint_dir=ckpt_dir,
                                      recorded_services=True)
-    assert type(providers.asr).__name__ == "HFWhisperASR", providers.asr
-    assert type(providers.clip).__name__ == "HFClip", providers.clip
+    if assert_hf:
+        assert type(providers.asr).__name__ == "HFWhisperASR", providers.asr
+        assert type(providers.clip).__name__ == "HFClip", providers.clip
     providers, close = coalesce_providers(providers)
     try:
-        import dataclasses
-
         from fvd_tpu.graph import build_graph
         from fvd_tpu.runtime.scheduler import Scheduler
         from fvd_tpu.state import State
 
         dag = build_graph(config, providers)
-        log("real-geometry warmup (compiling whisper-base/ViT-B-32/MiniLM)...")
+        log(f"{key} warmup (compiling)...")
         t0 = time.perf_counter()
         final = Scheduler(dag).invoke(State(input_path=videos[0]))
-        log(f"real-geometry warmup: {time.perf_counter() - t0:.2f}s "
+        log(f"{key} warmup: {time.perf_counter() - t0:.2f}s "
             f"p={final.fake_probability:.4f}")
         sample_transcript = (final.transcript or "")[:80]
 
         pass_vpm = []
-        for attempt in range(3):
+        for attempt in range(n_passes):
             t0 = time.perf_counter()
             run_pipeline_many(videos, config, providers, concurrency=8)
             elapsed = time.perf_counter() - t0
             vpm = round(60.0 / (elapsed / n_videos), 2)
             pass_vpm.append(vpm)
-            log(f"  real-geometry pass {attempt + 1}: {elapsed:.2f}s "
+            log(f"  {key} pass {attempt + 1}: {elapsed:.2f}s "
                 f"-> {vpm} videos/min")
             rg = {
                 "value": sorted(pass_vpm)[len(pass_vpm) // 2] if len(pass_vpm) % 2
@@ -157,13 +167,48 @@ def _real_geometry_section(repo_root, videos, config, n_videos):
                                                 len(pass_vpm) // 2 + 1]) / 2, 2),
                 "unit": "videos/min",
                 "pass_vpm": list(pass_vpm),
-                "models": "whisper-base+clip-vitb32+minilm-l6",
-                "whisper_weights": whisper_kind,
+                "models": models_label,
                 "transcript_sample": sample_transcript,
+                **(extra_meta or {}),
             }
-            _RESULT["real_geometry"] = _META["real_geometry"] = rg
+            _RESULT[key] = _META[key] = rg
     finally:
         close()
+
+
+def _real_geometry_section(repo_root, videos, config, n_videos):
+    """Measure videos/min with the reference-geometry models active — the
+    apples-to-apples perf number VERDICT r3 'missing #1' asked for.  Only
+    runs when the SHIPPED lineup is not already fully reference-geometry
+    (main() promotes the headline itself to real geometry once trained
+    clip/minilm/whisper all live in checkpoints/hf — VERDICT r4 #6)."""
+    ckpt_dir, whisper_kind = _real_geometry_checkpoint_dir(repo_root)
+    _variant_section(
+        repo_root, videos, config, n_videos, key="real_geometry",
+        ckpt_dir=ckpt_dir, models_label="whisper-base+clip-vitb32+minilm-l6",
+        extra_meta={"whisper_weights": whisper_kind}, assert_hf=True)
+
+
+def _rtt_probe(reps: int = 12) -> float:
+    """Fetch-fenced round-trip of a trivial device program, in ms — the
+    tunnel-window health number (VERDICT r4 weak #2: a degraded-window
+    artifact must carry window-health evidence alongside the median).
+    Same fencing discipline as tools/kernel_bench.py: block_until_ready is
+    not a reliable fence on the axon platform, a 4-byte fetch is."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    x = jnp.zeros((8,), jnp.float32)
+    f = jax.jit(lambda v: v + 1.0)
+    _np.asarray(f(x).ravel()[0])  # warm/compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            _np.asarray(f(x).ravel()[0])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return round(best * 1e3, 2)
 
 
 def _devices_or_reexec():
@@ -352,6 +397,30 @@ def main() -> None:
                 "to bench a random-init whisper under the real-models metric")
         _META["a2_asr"] = ("whisper-base-trained" if asr_kind == "HFWhisperASR"
                            else "dim-192")
+        # same random-init refusal for the other reference-geometry models
+        # (VERDICT r4 #1/#2): an HF clip/minilm may only carry the headline
+        # if it was trained + promoted through the paired adoption gate
+        clip_kind = type(providers.clip).__name__ if providers.clip else None
+        text_kind = type(providers.text_encoder).__name__
+        for kind_name, hf_kind, label in (
+                (clip_kind, "clip", "HFClip"),
+                (text_kind, "minilm", "HFTextEncoder")):
+            if kind_name == label:
+                meta_path = os.path.join(ckpt_dir, "hf", hf_kind,
+                                         "fvd_train_meta.json")
+                assert os.path.exists(meta_path), (
+                    f"{label} active but no fvd_train_meta.json - refusing "
+                    "to bench a random-init model under the real-models metric")
+        _META["c2_clip"] = ("clip-vitb32-trained" if clip_kind == "HFClip"
+                            else "dim-192" if clip_kind else None)
+        _META["e1_text"] = ("minilm-l6-trained" if text_kind == "HFTextEncoder"
+                            else "dim-192" if text_kind == "JaxTextEncoder"
+                            else "hashing")
+        shipped_real_geometry = (asr_kind == "HFWhisperASR"
+                                 and clip_kind == "HFClip"
+                                 and text_kind == "HFTextEncoder")
+        _META["headline_geometry"] = ("reference" if shipped_real_geometry
+                                      else "mixed")
         # wrap ONCE so the warmup run compiles the same fixed-bucket
         # coalesced programs the measured overlapped passes will use
         if cpu_backend:
@@ -414,6 +483,17 @@ def main() -> None:
     no_improve = 0
     pass_vpm: list = []  # every measured pass, so the JSON carries spread
 
+    # window-health evidence: per-dispatch RTT floor before the measured
+    # passes (re-measured after them below) — a 2x-spread pass_vpm with
+    # rtt_ms ~20+ reads "tunnel", with ~2 reads "framework"
+    window_health = {}
+    if not cpu_backend:
+        try:
+            window_health["rtt_ms_start"] = _rtt_probe()
+            log(f"window health: rtt floor {window_health['rtt_ms_start']} ms")
+        except Exception as e:
+            log(f"rtt probe failed (non-fatal): {e}")
+
     def _median(xs):
         s = sorted(xs)
         n = len(s)
@@ -470,6 +550,22 @@ def main() -> None:
         best_vpm = 60.0 / (best / n_videos)
         if attempt >= 2 and no_improve >= (2 if best_vpm >= 60.0 else 4):
             break
+    if not cpu_backend:
+        try:
+            window_health["rtt_ms_end"] = _rtt_probe()
+        except Exception as e:
+            log(f"rtt probe failed (non-fatal): {e}")
+    if window_health:
+        rtts = [v for v in (window_health.get("rtt_ms_start"),
+                            window_health.get("rtt_ms_end")) if v is not None]
+        # healthy windows measure ~1-3 ms/dispatch; degraded 10-30+ (CLAUDE.md
+        # tunnel-behavior log) — classify on the better probe (a window that
+        # recovered mid-bench is healthy for the best/median passes)
+        window_health["classification"] = (
+            "healthy" if min(rtts) < 6.0 else "degraded")
+        _RESULT["window_health"] = _META["window_health"] = window_health
+        log(f"window health: {window_health}")
+
     # where the best pass spent its (overlapped) time — the degraded-window
     # diagnosis the next optimization round needs
     for name, secs in sorted((best_spans or {}).items(), key=lambda kv: -kv[1])[:20]:
@@ -523,20 +619,46 @@ def main() -> None:
                     float(predict_host(fake_final.features, calib)), 4)
                 probe["classified"] = bool(
                     probe["desync_texture_p_cal"] > 0.5 > probe["sync_p_cal"])
+                # the classification claim's corpus-level evidence (VERDICT
+                # r4 #9): carry the calibrated vector's own labeled-corpus
+                # validation accuracy + corpus size, so "classified: true"
+                # is readable against the weight quality it rests on
+                calib_meta_path = calib_path.replace(".json", "_meta.json")
+                if os.path.exists(calib_meta_path):
+                    with open(calib_meta_path) as f:
+                        cm = json.load(f)
+                    probe["calibrated_val_acc"] = round(
+                        float(cm.get("val_acc", float("nan"))), 4)
+                    corpus_meta = cm.get("corpus", {})
+                    probe["calibrated_corpus_n"] = int(
+                        corpus_meta.get("n_real", 0)
+                        + corpus_meta.get("n_fake", 0)
+                        + corpus_meta.get("ambiguous", 0)
+                        + corpus_meta.get("hard_reals", 0))
             _RESULT["probe"] = _META["probe"] = probe
             log(f"discrimination probe: {probe}")
         except Exception as e:  # the probe must never cost the headline
             log(f"discrimination probe failed (non-fatal): {e}")
         _close_coalesce()  # join the coalescer threads before reporting
         if not cpu_backend and os.environ.get("FVD_TPU_BENCH_NO_REAL_GEOM") != "1":
-            # reference-model-geometry measurement (whisper-base / ViT-B/32 /
-            # MiniLM active): the apples-to-apples number vs what the
-            # reference actually computes per video; failure or timeout here
-            # must never cost the already-secured toy-geometry headline
+            # comparison section; failure or timeout here must never cost
+            # the already-secured headline.  When the shipped lineup is
+            # fully reference-geometry (trained whisper+clip+minilm in
+            # checkpoints/hf) the HEADLINE above already measured real
+            # geometry — record the dim-192 toy number as the comparison
+            # field instead (VERDICT r4 #6).  Otherwise measure the
+            # real-geometry lineup as the extra section (rounds 4 behavior).
             try:
-                _real_geometry_section(repo_root, videos, config, n_videos)
+                if shipped_real_geometry:
+                    _variant_section(
+                        repo_root, videos, config, n_videos,
+                        key="toy_geometry",
+                        ckpt_dir=_toy_geometry_checkpoint_dir(repo_root),
+                        models_label="dim-192 first-party lineup")
+                else:
+                    _real_geometry_section(repo_root, videos, config, n_videos)
             except Exception as e:
-                log(f"real-geometry section failed (non-fatal): {e}")
+                log(f"geometry comparison section failed (non-fatal): {e}")
     per_video = best / n_videos
     median_vpm = _median(pass_vpm)
 

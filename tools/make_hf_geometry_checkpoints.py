@@ -65,10 +65,50 @@ def _bytelevel_bpe(vocab_size: int, specials: list) -> "object":
     return tok
 
 
+def _claim_domain_lexicon() -> list:
+    """Whole-word vocabulary for the WordPiece fabrication: the claim/
+    evidence generator's lexicon (tools/pretrain_text_encoder.py) plus a
+    small common-English core.  With only the char-level fallback, a
+    40-word evidence string tokenizes to ~200 single-char pieces and E1's
+    128-token truncation drops the discriminative slot values; whole-word
+    entries keep runtime strings ~1 token/word.  Genuine MiniLM weights
+    ship their own vocab.txt and replace this wholesale."""
+    words = set("""
+        the a an of to in on by for with at from and or but will is are was
+        were be been has have had said says new more after over under about
+        city county state federal report reports reported officials according
+        plans percent cases jobs feet river water levels overnight responded
+        emerge details our reporters examined whether know what we rating
+        fact check verification reality coverage claim sourcing context
+        respond spoke video shows people year years million thousand today
+        area local residents during statement week month told press
+    """.split())
+    try:
+        import pretrain_text_encoder as pt
+
+        for group in (pt.OFFICIALS, pt.CITIES, pt.THINGS, pt.RIVERS,
+                      pt.DISEASES, pt.ORGS, pt.COMPANIES, pt.AGENCIES,
+                      pt.PHENOMENA, pt.WORDS_0_20):
+            for entry in group:
+                words.update(str(entry).lower().split())
+        for alts in pt.SYN.values():
+            for alt in alts:
+                words.update(alt.lower().split())
+        for style in pt.TITLE_STYLES + pt.SNIPPET_STYLES:
+            words.update(
+                style.replace("{s}", " ").replace(":", " ")
+                .replace(".", " ").replace(",", " ").replace("'", " ")
+                .lower().split())
+    except ImportError:  # lexicon source optional: chars still cover all
+        pass
+    return sorted(w for w in words if w.isalpha())
+
+
 def _wordpiece(vocab_size: int) -> "object":
     """A working WordPiece fast tokenizer with the BERT special-token layout
     ([PAD]=0, [UNK]=100, [CLS]=101, [SEP]=102, [MASK]=103 — the MiniLM
-    vocab positions) and a char-level fallback vocabulary."""
+    vocab positions), a char-level fallback vocabulary, and the claim-domain
+    whole-word lexicon."""
     from tokenizers import Tokenizer, models, normalizers, pre_tokenizers, processors
 
     vocab = {"[PAD]": 0}
@@ -82,6 +122,9 @@ def _wordpiece(vocab_size: int) -> "object":
         vocab[c] = len(vocab)
     for c in chars:
         vocab["##" + c] = len(vocab)
+    for w in _claim_domain_lexicon():
+        if w not in vocab and len(vocab) < vocab_size:
+            vocab[w] = len(vocab)
     i = 0
     while len(vocab) < vocab_size:
         t = f"[fill{i}]"
@@ -122,22 +165,53 @@ def make_minilm(dest: str, seed: int = 0) -> None:
     tok.save_pretrained(dest)
 
 
-def make_clip(dest: str, seed: int = 0) -> None:
+def make_clip(dest: str, seed: int = 0, tiny: bool = False) -> None:
     """CLIP ViT-B/32 geometry — transformers' CLIPConfig *defaults* are
     exactly openai/clip-vit-base-patch32: text 512x12 (vocab 49408, 77
     positions), vision 768x12 patch 32 image 224, projection 512
-    (c2_gesture_narration_check.py:49-54)."""
+    (c2_gesture_narration_check.py:49-54).
+
+    ``tiny``: 2-layer 64d towers at the same 224/77 interface — trainer
+    smoke tests on CPU, never a capability artifact."""
     from transformers import CLIPConfig, CLIPTokenizerFast, FlaxCLIPModel
 
-    from tokenizers import pre_tokenizers
+    from tokenizers import pre_tokenizers, processors
 
-    cfg = CLIPConfig()
+    if tiny:
+        cfg = CLIPConfig(
+            text_config=dict(hidden_size=64, intermediate_size=128,
+                             num_hidden_layers=2, num_attention_heads=2,
+                             vocab_size=49408),
+            vision_config=dict(hidden_size=64, intermediate_size=128,
+                               num_hidden_layers=2, num_attention_heads=2,
+                               patch_size=32, image_size=224),
+            projection_dim=64,
+        )
+    else:
+        cfg = CLIPConfig()
+    # Align control-token ids with the fabricated vocabulary (eos=0, bos=1):
+    # FlaxCLIPTextTransformer pools the hidden state at
+    # ``(input_ids == eos_token_id).argmax`` — with the genuine ids (49407)
+    # and this tokenizer the match never fires and pooling silently takes
+    # position 0 (which, under the causal text mask, has seen ONE token).
+    # Genuine OpenAI weights ship their own config.json + tokenizer and
+    # replace these files wholesale, so the ids travel with the weights.
+    cfg.text_config.eos_token_id = 0
+    cfg.text_config.bos_token_id = 1
+    cfg.text_config.pad_token_id = 0
     model = FlaxCLIPModel(cfg, seed=seed)
     backend = _bytelevel_bpe(
         cfg.text_config.vocab_size, ["<|endoftext|>", "<|startoftext|>"])
     # CLIPTokenizerFast (>=4.17) requires a Sequence pre-tokenizer
     backend.pre_tokenizer = pre_tokenizers.Sequence(
         [pre_tokenizers.ByteLevel(add_prefix_space=False)])
+    # bos + content + eos, so eos-position pooling always has a real eos to
+    # find (truncation reserves room for the specials)
+    backend.post_processor = processors.TemplateProcessing(
+        single="<|startoftext|> $A <|endoftext|>",
+        pair="<|startoftext|> $A <|endoftext|> $B <|endoftext|>",
+        special_tokens=[("<|endoftext|>", 0), ("<|startoftext|>", 1)],
+    )
     tok = CLIPTokenizerFast(
         tokenizer_object=backend,
         unk_token="<|endoftext|>", bos_token="<|startoftext|>",
