@@ -139,6 +139,135 @@ def euler_from_matrix_deg(R: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Reference-scale vision models (FAN / SixDRepNet geometry)
+# ---------------------------------------------------------------------------
+FAN_CROP_SIZE = 256
+FAN_HEATMAP_SIZE = 64
+
+
+class Bottleneck(nn.Module):
+    """Pre-activation 1x1-3x3-1x1 bottleneck residual (the FAN / ResNet-50
+    block family).  ``mid`` defaults to the ResNet-50 4x expansion
+    (features//4); the FAN hourglass uses features//2 (its ConvBlocks keep
+    half-width 3x3s, which is where FAN's ~19 GFLOP/crop lives)."""
+
+    features: int
+    stride: int = 1
+    mid: int | None = None
+    dtype: "jnp.dtype" = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        mid = self.mid or self.features // 4
+        r = x
+        y = nn.relu(nn.GroupNorm(num_groups=8, dtype=self.dtype)(x))
+        y = nn.Conv(mid, (1, 1), dtype=self.dtype)(y)
+        y = nn.relu(nn.GroupNorm(num_groups=8, dtype=self.dtype)(y))
+        y = nn.Conv(mid, (3, 3), strides=(self.stride, self.stride),
+                    padding="SAME", dtype=self.dtype)(y)
+        y = nn.relu(nn.GroupNorm(num_groups=8, dtype=self.dtype)(y))
+        y = nn.Conv(self.features, (1, 1), dtype=self.dtype)(y)
+        if r.shape[-1] != self.features or self.stride != 1:
+            r = nn.Conv(self.features, (1, 1),
+                        strides=(self.stride, self.stride), dtype=self.dtype)(r)
+        return y + r
+
+
+class HourglassB(nn.Module):
+    """Bottleneck-block hourglass (the FAN building unit; half-width 3x3
+    contractions — see Bottleneck.mid)."""
+
+    features: int
+    depth: int = 4
+    dtype: "jnp.dtype" = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        mid = self.features // 2
+        skips = []
+        for _ in range(self.depth):
+            skips.append(Bottleneck(self.features, mid=mid, dtype=self.dtype)(x))
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = Bottleneck(self.features, mid=mid, dtype=self.dtype)(x)
+        x = Bottleneck(self.features, mid=mid, dtype=self.dtype)(x)
+        for skip in reversed(skips):
+            x = jax.image.resize(x, skip.shape, "nearest")
+            x = Bottleneck(self.features, mid=mid, dtype=self.dtype)(x + skip)
+        return x
+
+
+class FANLandmarkNet(nn.Module):
+    """Reference-scale FAN: ``n_stacks`` stacked 256-feature hourglasses over
+    256x256 crops -> 64x64x68 heatmaps with intermediate supervision
+    (face_alignment's FAN, `v3_mouth_landmarks_timeseries.py:94,130` — the
+    geometry the shipped 864 KB hourglass stands in for: same crop size,
+    heatmap size, stack count and feature width; ~14M params / ~18 GFLOP
+    per crop, FLOP-parity with FAN's ~19).  Returns the LAST stack's
+    heatmaps; ``decode_heatmaps`` applies unchanged, so this drops into
+    the V3 path at checkpoint-scale."""
+
+    width: int = 256
+    n_stacks: int = 4
+    dtype: "jnp.dtype" = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, 256, 256, 3] -> [B, 64, 64, 68]
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
+                    dtype=self.dtype)(x)                                # 128
+        x = nn.relu(nn.GroupNorm(num_groups=8, dtype=self.dtype)(x))
+        x = Bottleneck(128, dtype=self.dtype)(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))                      # 64
+        x = Bottleneck(self.width, dtype=self.dtype)(x)
+        hm = None
+        for s in range(self.n_stacks):
+            y = HourglassB(self.width, dtype=self.dtype)(x)
+            y = Bottleneck(self.width, dtype=self.dtype)(y)
+            y = nn.relu(nn.GroupNorm(num_groups=8, dtype=self.dtype)(
+                nn.Conv(self.width, (1, 1), dtype=self.dtype)(y)))
+            hm = nn.Conv(N_LANDMARKS, (1, 1), dtype=self.dtype)(y)
+            if s < self.n_stacks - 1:  # intermediate-supervision remix
+                x = (x + nn.Conv(self.width, (1, 1), dtype=self.dtype)(y)
+                     + nn.Conv(self.width, (1, 1), dtype=self.dtype)(hm))
+        return hm.astype(jnp.float32)
+
+
+class PoseResNet50(nn.Module):
+    """ResNet-50-scale 6D pose backbone (SixDRepNet's backbone class,
+    `v4_blink_headpose_dynamics.py:133-135`): [3,4,6,3] bottleneck stages
+    at 256/512/1024/2048 channels over 224x224 crops -> 6D rotation."""
+
+    dtype: "jnp.dtype" = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, 224, 224, 3] -> [B, 6]
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
+                    dtype=self.dtype)(x)
+        x = nn.relu(nn.GroupNorm(num_groups=8, dtype=self.dtype)(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        for ch, blocks, stride in ((256, 3, 1), (512, 4, 2),
+                                   (1024, 6, 2), (2048, 3, 2)):
+            x = Bottleneck(ch, stride=stride, dtype=self.dtype)(x)
+            for _ in range(blocks - 1):
+                x = Bottleneck(ch, dtype=self.dtype)(x)
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        return nn.Dense(6)(x)
+
+
+def init_fan_params(rng, width: int = 256, n_stacks: int = 4,
+                    dtype=jnp.float32):
+    dummy = jnp.zeros((1, FAN_CROP_SIZE, FAN_CROP_SIZE, 3), jnp.float32)
+    return FANLandmarkNet(width=width, n_stacks=n_stacks,
+                          dtype=dtype).init(rng, dummy)
+
+
+def init_pose50_params(rng, dtype=jnp.float32):
+    dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    return PoseResNet50(dtype=dtype).init(rng, dummy)
+
+
+# ---------------------------------------------------------------------------
 # Param management
 # ---------------------------------------------------------------------------
 def init_landmark_params(rng, width: int = 64):

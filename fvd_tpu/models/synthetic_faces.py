@@ -214,10 +214,100 @@ def photometric_randomize(img: np.ndarray, rng: np.random.RandomState) -> np.nda
     return np.ascontiguousarray(img)
 
 
+def portrait_realism(img: np.ndarray, bg: np.ndarray, cx: float, cy: float,
+                     fw: float, fh: float, rng: np.random.RandomState) -> np.ndarray:
+    """Round-5 portrait-structure realism (VERDICT r4 #4's named levers):
+    hair mass with strand texture, a non-elliptical jaw outline, and an
+    occasional hat band — the three structural cues a real head has that
+    the bare ellipse lacks (the hflip probe failure is the asymmetric
+    hairline; the ~0.27 IoU is the box convention never seeing hair/jaw
+    context).  ``bg`` is the pre-face background (jaw carving restores real
+    background pixels, not a flat fill).  The GT box stays the full face
+    ellipse — hair/hat lie OUTSIDE the box, exactly like the hand-labeled
+    grace_hopper GT ('hat brim excluded', tools/eval_external_faces.py)."""
+    import cv2
+
+    size_h, size_w = img.shape[:2]
+    # --- non-elliptical jaw: carve the lower-side ellipse bulges back to
+    # background, leaving an egg/tapered-chin outline
+    if rng.rand() < 0.7:
+        taper = rng.uniform(0.62, 0.88)
+        face = np.zeros((size_h, size_w), np.uint8)
+        cv2.ellipse(face, (int(cx), int(cy)), (int(fw / 2), int(fh / 2)),
+                    0, 0, 360, 1, -1)
+        head = np.zeros_like(face)
+        cv2.ellipse(head, (int(cx), int(cy)), (int(fw / 2), int(fh / 2)),
+                    0, 180, 360, 1, -1)          # upper half: full width
+        cv2.ellipse(head, (int(cx), int(cy)),
+                    (max(2, int(fw / 2 * taper)), int(fh / 2)),
+                    0, 0, 180, 1, -1)            # lower half: tapered chin
+        cut = (face == 1) & (head == 0)
+        img[cut] = bg[cut]
+    # --- hair mass: asymmetric textured cap over the crown, clipped to a
+    # wavy hairline so the forehead stays skin
+    if rng.rand() < 0.85:
+        tone = rng.randint(15, 110)
+        hcol = np.clip(tone * rng.uniform(0.6, 1.5, 3), 0, 235)
+        mask = np.zeros((size_h, size_w), np.uint8)
+        hx = cx + rng.uniform(-0.14, 0.14) * fw  # asymmetry (hflip lever)
+        hy = cy - rng.uniform(0.02, 0.15) * fh
+        cv2.ellipse(mask, (int(hx), int(hy)),
+                    (int(fw / 2 * rng.uniform(1.0, 1.3)),
+                     int(fh / 2 * rng.uniform(0.8, 1.1))),
+                    rng.uniform(-12, 12), 180, 360, 1, -1)
+        hairline = cy - rng.uniform(0.16, 0.34) * fh
+        wiggle = rng.uniform(0.0, 0.06) * fh * np.sin(
+            np.arange(size_w)[None, :] / rng.uniform(5, 18)
+            + rng.uniform(0, 6.28))
+        yy = np.arange(size_h)[:, None].astype(np.float32)
+        mask = mask.astype(bool) & (yy < hairline + wiggle)
+        if mask.any():
+            xx = np.arange(size_w)[None, :].astype(np.float32)
+            strands = 16 * np.sin((xx + 0.4 * yy) / rng.uniform(1.5, 4.0))
+            strands = strands + rng.randn(size_h, size_w) * 7
+            hair = np.clip(hcol[None, None] + strands[..., None],
+                           0, 255).astype(np.uint8)
+            img[mask] = hair[mask]
+    # --- hat band above the crown (the grace-hopper cue; outside the box)
+    if rng.rand() < 0.25:
+        bandc = tuple(int(c) for c in rng.randint(20, 200, 3))
+        y0 = int(cy - fh / 2 + rng.uniform(0.0, 0.1) * fh)
+        h_band = max(3, int(rng.uniform(0.08, 0.2) * fh))
+        cv2.rectangle(img, (int(cx - 0.75 * fw), y0 - h_band),
+                      (int(cx + 0.75 * fw), y0), bandc, -1)
+    return img
+
+
+def _clutter_background(img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    """Photo-statistics background clutter: overlapping rectangular masses
+    (furniture/shelves/frames), occasional edges-only outlines, and a
+    radial vignette — the piecewise-constant-blocks-plus-vignette structure
+    of indoor portrait backgrounds, vs the renderer's smooth noise/stripes."""
+    import cv2
+
+    size_h, size_w = img.shape[:2]
+    for _ in range(rng.randint(4, 12)):
+        c = tuple(int(v) for v in rng.randint(0, 210, 3))
+        x0, y0 = rng.randint(-20, size_w - 5), rng.randint(-20, size_h - 5)
+        w = rng.randint(10, size_w // 2)
+        h = rng.randint(10, size_h // 2)
+        thickness = -1 if rng.rand() < 0.7 else rng.randint(1, 4)
+        cv2.rectangle(img, (x0, y0), (x0 + w, y0 + h), c, thickness)
+    img = cv2.blur(img, (3, 3))
+    if rng.rand() < 0.6:  # vignette
+        yy, xx = np.mgrid[0:size_h, 0:size_w].astype(np.float32)
+        r2 = (((xx - size_w / 2) / size_w) ** 2
+              + ((yy - size_h / 2) / size_h) ** 2)
+        fall = 1.0 - rng.uniform(0.2, 0.55) * np.clip(r2 * 2.0, 0, 1)
+        img = np.clip(img.astype(np.float32) * fall[..., None],
+                      0, 255).astype(np.uint8)
+    return np.ascontiguousarray(img)
+
+
 def render_face(
     rng: np.random.RandomState, size: int = 300, aperture: float | None = None,
     augment: bool = False, hard: bool = False, photometric: bool = False,
-    shaded: bool = False,
+    shaded: bool = False, portrait: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (image uint8 [size, size, 3], gt box [4] normalized corners,
     landmarks [68, 2] in pixels).
@@ -264,6 +354,8 @@ def render_face(
         img = (rng.rand(size, size, 3) * 60 + rng.rand(3) * 120).astype(np.uint8)
         # random noise texture
         img = cv2.blur(img, (5, 5))
+    if portrait and rng.rand() < 0.5:
+        img = _clutter_background(img, rng)
 
     if augment:
         fw = rng.uniform(0.22, 0.62) * size
@@ -278,7 +370,12 @@ def render_face(
         ])
     cx = rng.uniform(fw / 2 + 2, size - fw / 2 - 2)
     cy = rng.uniform(fh / 2 + 2, size - fh / 2 - 2)
+    bg_copy = img.copy() if portrait else None
     pts = draw_face(img, cx, cy, fw, fh, skin, aperture)
+    if portrait:
+        # structural realism BEFORE shading, so rim/feathering soften the
+        # carved jaw and hair boundary like they soften the raw ellipse
+        img = portrait_realism(img, bg_copy, cx, cy, fw, fh, rng)
     if shaded:
         # face-intrinsic shading/texture/soft-edge realism (round-4 lever);
         # applied before accessories so strokes stay crisp over shaded skin,
@@ -345,7 +442,8 @@ def render_face(
 
 def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300,
                    augment: bool = False, photometric: bool = False,
-                   dense: bool = False, shaded: bool = False):
+                   dense: bool = False, shaded: bool = False,
+                   portrait: bool = False):
     """Training batch for the SSD: (frames float mean-sub, labels, loc
     targets) using fvd_tpu.ops.detection matching.  ``augment`` applies the
     robustness augmentations to half of each batch (a quarter in the dense
@@ -377,7 +475,10 @@ def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300,
                                   # 3/4 shaded, a clean quarter so the
                                   # in-domain eval doesn't drift (round-4
                                   # face-intrinsic realism lever)
-                                  shaded=shaded and i % 4 != 3)
+                                  shaded=shaded and i % 4 != 3,
+                                  # portrait structure on the same 3/4
+                                  # (round-5 hair/jaw/clutter lever)
+                                  portrait=portrait and i % 4 != 3)
         frames[i] = img.astype(np.float32) - np.asarray(MEAN_RGB)
         lab, matched = detection.match_anchors(box[None], A)
         enc = np.array(detection.encode_boxes(matched, A))

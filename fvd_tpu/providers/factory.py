@@ -28,13 +28,14 @@ def _build_ocr(det_ckpt: str, rec_ckpt: str):
     from fvd_tpu.models import encoders, ocr
 
     det_params = rec_params = None
+    det_width, det_arch = 16, "v1"
     if os.path.exists(det_ckpt):
-        template = ocr.init_detector(jax.random.PRNGKey(1), width=16)
-        det_params = encoders.load_params(det_ckpt, template)
+        det_params, det_width, det_arch = ocr.load_detector(det_ckpt)
     if os.path.exists(rec_ckpt):
         template = ocr.init_recognizer(jax.random.PRNGKey(0), width=32)
         rec_params = encoders.load_params(rec_ckpt, template)
-    return ocr.JaxOCR(det_params=det_params, rec_params=rec_params)
+    return ocr.JaxOCR(det_params=det_params, rec_params=rec_params,
+                      det_width=det_width, det_arch=det_arch)
 
 
 KNOWN_CHECKPOINTS = (

@@ -250,8 +250,8 @@ def eval_ocr_det(n: int, seed: int = 19):
     from fvd_tpu.models import encoders, ocr
     from fvd_tpu.models.synthetic_text import detector_sample
 
-    template = ocr.init_detector(jax.random.PRNGKey(0), width=16)
-    params = encoders.load_params(os.path.join(CKPT, "ocr_det.npz"), template)
+    params, det_width, det_arch = ocr.load_detector(
+        os.path.join(CKPT, "ocr_det.npz"))
 
     HELD_OUT_FONTS = [cv2.FONT_HERSHEY_DUPLEX, cv2.FONT_HERSHEY_COMPLEX,
                       cv2.FONT_HERSHEY_TRIPLEX,
@@ -266,8 +266,9 @@ def eval_ocr_det(n: int, seed: int = 19):
             img, mask = detector_sample(rng, font=font)
             imgs[i] = img.astype(np.float32) / 255.0
             masks[i] = mask
-        prob = np.asarray(ocr.detect_forward(params, jnp.asarray(imgs),
-                                             width=16))  # [B, H, W]
+        prob = np.asarray(ocr.detect_forward(
+            params, jnp.asarray(imgs), width=det_width,
+            arch=det_arch))  # [B, H, W]
         pred = prob > 0.5
         gt = masks > 0.5
         inter = (pred & gt).reshape(n, -1).sum(1)

@@ -157,9 +157,10 @@ def toy_rows(rows, ckpt, reps):
     if os.path.exists(det_path):
         from fvd_tpu.models import ocr as ocr_mod
 
-        oparams = landmarks_fan.load_params(
-            det_path, ocr_mod.init_detector(jax.random.PRNGKey(3)))
-        measure(rows, "ocr_det_packed@256", ocr_mod.detect_packed_mask,
+        oparams, det_w, det_arch = ocr_mod.load_detector(det_path)
+        measure(rows, f"ocr_det_packed@256({det_arch})",
+                lambda p, f: ocr_mod.detect_packed_mask(
+                    p, f, width=det_w, arch=det_arch),
                 (oparams, frames), det_b, reps)
 
     # --- OneEuro smoothing scan @ bucket (8 videos x 256 steps) ---
@@ -251,6 +252,41 @@ def real_geometry_rows(rows, reps):
         return (hidden * w).sum(1) / w.sum(1).clip(1e-9)
 
     measure(rows, "minilm_l6@16x128", minilm, (mmodel.params, mids, mmask), mb, reps)
+
+    # --- FAN-scale vision (VERDICT r4 #7): the reference's landmark model
+    # is a 4-stack 256-feature hourglass over 256x256 crops
+    # (`v3_mouth_landmarks_timeseries.py:94,130`) and its pose model a
+    # ResNet-backbone SixDRepNet (`v4_blink_headpose_dynamics.py:133-135`).
+    # These rows measure the framework at those geometries (bf16 params,
+    # soft-argmax decode included for the landmark row). ---
+    from fvd_tpu.models import landmarks_fan as lf
+
+    fan_b, pose_b = 16, 32
+    fan_params = lf.init_fan_params(jax.random.PRNGKey(7), dtype=jnp.bfloat16)
+    fan_params = jax.device_put(
+        jax.tree.map(lambda a: a.astype(jnp.bfloat16), fan_params))
+    fan_crops = jnp.asarray(
+        rng.rand(fan_b, lf.FAN_CROP_SIZE, lf.FAN_CROP_SIZE, 3).astype(np.float32))
+
+    def fan_fwd(p, c):
+        hm = lf.FANLandmarkNet(dtype=jnp.bfloat16).apply(p, c)
+        return lf.decode_heatmaps(hm)
+
+    measure(rows, "fan_4stack256@16x256px", fan_fwd, (fan_params, fan_crops),
+            fan_b, reps)
+
+    p50_params = lf.init_pose50_params(jax.random.PRNGKey(8),
+                                       dtype=jnp.bfloat16)
+    p50_params = jax.device_put(
+        jax.tree.map(lambda a: a.astype(jnp.bfloat16), p50_params))
+    p50_crops = jnp.asarray(rng.rand(pose_b, 224, 224, 3).astype(np.float32))
+
+    def pose50_fwd(p, c):
+        d6 = lf.PoseResNet50(dtype=jnp.bfloat16).apply(p, c)
+        return lf.euler_from_matrix_deg(lf.rotation_6d_to_matrix(d6))
+
+    measure(rows, "pose_resnet50@32x224px", pose50_fwd, (p50_params, p50_crops),
+            pose_b, reps)
 
 
 def main() -> int:

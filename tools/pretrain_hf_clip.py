@@ -152,6 +152,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=200)
     ap.add_argument("--band-weight", type=float, default=2.0,
                     help="weight of the C2 cosine-band shaping term")
+    ap.add_argument("--band-target", type=float, default=0.35,
+                    help="matched-cosine floor the band term enforces (the "
+                         "C2 Consistent threshold is 0.25; margin above it "
+                         "keeps the whole matched distribution clear)")
     ap.add_argument("--out", default="checkpoints/hf_staging/clip")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--save-every", type=int, default=2000)
@@ -247,7 +251,7 @@ def main():
         # C2 band shaping on RAW cosines (see module docstring)
         diag = jnp.diag(cos)
         off = cos - jnp.eye(cos.shape[0]) * cos
-        band = (jnp.mean(jax.nn.relu(0.35 - diag) ** 2)
+        band = (jnp.mean(jax.nn.relu(args.band_target - diag) ** 2)
                 + jnp.mean(jax.nn.relu(off - 0.05) ** 2))
         return (li + lt) / 2 + args.band_weight * band, (diag.mean(),)
 

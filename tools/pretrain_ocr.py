@@ -74,7 +74,7 @@ def train_recognizer(steps: int, batch: int, width: int, out: str, seed: int = 0
 
 def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 1,
                    resume: bool = False, lr: float = 1e-3,
-                   augment: bool = False):
+                   augment: bool = False, arch: str = "v1"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -84,8 +84,8 @@ def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 1,
     from fvd_tpu.models.synthetic_text import detector_batch
 
     rng = np.random.RandomState(seed)
-    model = ocr.TextRegionNet(width=width)
-    params = ocr.init_detector(jax.random.PRNGKey(seed), width=width)
+    model = ocr.DET_ARCHS[arch](width=width)
+    params = ocr.init_detector(jax.random.PRNGKey(seed), width=width, arch=arch)
     if resume and os.path.exists(out):
         params = load_params(out, params)
         print(f"[det] resumed params from {out}")
@@ -114,17 +114,22 @@ def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 1,
 
     # eval: mask IoU on fresh samples
     imgs, masks = detector_batch(rng, 16)
-    probs = np.asarray(ocr.detect_forward(params, jnp.asarray(imgs), width=width))
+    probs = np.asarray(ocr.detect_forward(params, jnp.asarray(imgs),
+                                          width=width, arch=arch))
     pred = probs > 0.5
     gt = masks > 0.5
     iou = (pred & gt).sum() / max((pred | gt).sum(), 1)
     print(f"[det] eval mask IoU: {iou:.3f}")
 
     os.makedirs(os.path.dirname(out), exist_ok=True)
+    import json
+
     from fvd_tpu.models.encoders import save_params
 
     save_params(out, params)
-    print(f"[det] saved {out}")
+    with open(out.replace(".npz", ".json"), "w") as f:
+        json.dump({"arch": arch, "width": width}, f)
+    print(f"[det] saved {out} (arch={arch}, width={width})")
     return iou
 
 
@@ -133,7 +138,9 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--rec-width", type=int, default=32)
-    ap.add_argument("--det-width", type=int, default=16)
+    ap.add_argument("--det-width", type=int, default=None,
+                    help="default: the arch's native width (v1: 16, v2: 128)")
+    ap.add_argument("--det-arch", choices=["v1", "v2"], default="v1")
     ap.add_argument("--out-dir", default="checkpoints")
     ap.add_argument("--only", choices=["rec", "det"], default=None)
     ap.add_argument("--resume", action="store_true")
@@ -158,9 +165,13 @@ def main():
                          os.path.join(args.out_dir, "ocr_rec.npz"),
                          resume=args.resume, lr=args.lr, augment=args.augment)
     if args.only in (None, "det"):
-        train_detector(max(200, args.steps // 3), args.batch, args.det_width,
+        from fvd_tpu.models.ocr import DET_DEFAULT_WIDTH
+
+        det_width = args.det_width or DET_DEFAULT_WIDTH[args.det_arch]
+        train_detector(max(200, args.steps // 3), args.batch, det_width,
                        os.path.join(args.out_dir, "ocr_det.npz"),
-                       resume=args.resume, lr=args.lr, augment=args.augment)
+                       resume=args.resume, lr=args.lr, augment=args.augment,
+                       arch=args.det_arch)
 
 
 if __name__ == "__main__":

@@ -24,7 +24,7 @@ import numpy as np
 def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
                    resume: bool = False, lr: float = 1e-3, augment: bool = False,
                    photometric: bool = False, dense: bool = False,
-                   shading: bool = False):
+                   shading: bool = False, portrait: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -53,7 +53,8 @@ def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
     for i in range(start_step, start_step + steps):
         frames, labels, locs, _ = detector_batch(rng, batch, augment=augment,
                                                   photometric=photometric,
-                                                  dense=dense, shaded=shading)
+                                                  dense=dense, shaded=shading,
+                                                  portrait=portrait)
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(frames), jnp.asarray(labels), jnp.asarray(locs)
         )
@@ -208,6 +209,12 @@ def main():
                          "(accessories p0.9 + dense occluders) — targets "
                          "the accessories factor the round-4 diagnostic "
                          "pinned as pose's held-out binder")
+    ap.add_argument("--portrait", action="store_true",
+                    help="det: portrait-structure realism on the augmented "
+                         "samples — hair mass with texture, non-elliptical "
+                         "jaw, hat band, photo-statistics background "
+                         "clutter (round-5 external-validity lever, "
+                         "synthetic_faces.portrait_realism)")
     ap.add_argument("--shading", action="store_true",
                     help="face-intrinsic realism: rim/directional shading, "
                          "skin mottling, specular sheen, feathered face "
@@ -237,7 +244,7 @@ def main():
                        os.path.join(args.out_dir, "face_ssd.npz"),
                        resume=args.resume, lr=args.lr, augment=args.augment,
                        photometric=args.photometric, dense=args.dense,
-                       shading=args.shading)
+                       shading=args.shading, portrait=args.portrait)
     if args.only in (None, "lmk"):
         train_landmarks(args.steps, args.batch, args.lmk_width,
                         os.path.join(args.out_dir, "landmarks.npz"),
