@@ -92,17 +92,26 @@ CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
 class HFClip:
-    """ClipProvider protocol over FlaxCLIPModel (CLIP ViT-B/32 role)."""
+    """ClipProvider protocol over FlaxCLIPModel (CLIP ViT-B/32 role).
+
+    ``cal_offset``/``cal_scale`` linearly map a first-party-trained
+    checkpoint's cosine range onto the reference CLIP's (whose 0.25/0.15
+    C2 thresholds the node inherits) — the same convention as
+    models/encoders.JaxClip, computed at train time on the held-out pool
+    (tools/pretrain_hf_clip.py) and stored in ``fvd_train_meta.json``.
+    Genuine OpenAI weights carry no meta and stay at the identity map."""
 
     #: device-forward provider: eligible for cross-video coalescing
     coalescable = True
 
     def __init__(self, model, tokenize: Callable[[List[str]], Dict[str, np.ndarray]],
-                 image_size: Optional[int] = None):
+                 image_size: Optional[int] = None,
+                 cal_offset: float = 0.0, cal_scale: float = 1.0):
         import jax
 
         self.model = model
         self.tokenize = tokenize
+        self.cal_offset, self.cal_scale = float(cal_offset), float(cal_scale)
         self.image_size = image_size or model.config.vision_config.image_size
 
         def similarity(params, pixel_values, input_ids, attention_mask):
@@ -129,6 +138,9 @@ class HFClip:
 
     @classmethod
     def from_local(cls, path: str) -> "HFClip":
+        import json
+        import os
+
         from transformers import AutoTokenizer, FlaxCLIPModel
 
         tok = AutoTokenizer.from_pretrained(path)
@@ -141,7 +153,14 @@ class HFClip:
             return {"input_ids": enc["input_ids"],
                     "attention_mask": enc["attention_mask"]}
 
-        return cls(model, tokenize)
+        cal = {}
+        meta_path = os.path.join(path, "fvd_train_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            cal = {"cal_offset": float(meta.get("cal_offset", 0.0)),
+                   "cal_scale": float(meta.get("cal_scale", 1.0))}
+        return cls(model, tokenize, **cal)
 
     def _preprocess(self, image: np.ndarray) -> np.ndarray:
         import cv2
@@ -153,15 +172,13 @@ class HFClip:
         # we call module.apply directly)
         return img[None]
 
+    def _calibrate(self, sim: np.ndarray) -> np.ndarray:
+        if self.cal_scale == 1.0 and self.cal_offset == 0.0:
+            return sim
+        return (sim - self.cal_offset) * self.cal_scale
+
     def image_text_similarity(self, image: np.ndarray, text: str) -> float:
-        enc = self.tokenize([text])
-        sim = self._similarity(
-            self.model.params,
-            self._preprocess(image),
-            enc["input_ids"],
-            enc["attention_mask"],
-        )
-        return float(sim[0])
+        return float(self.image_text_similarity_batch([image], [text])[0])
 
     def image_text_similarity_batch(self, images, texts) -> np.ndarray:
         """Paired cosines for the whole keyframe set in one forward."""
@@ -170,7 +187,7 @@ class HFClip:
         sim = self._similarity(
             self.model.params, pixels, enc["input_ids"], enc["attention_mask"]
         )
-        return np.asarray(sim)
+        return self._calibrate(np.asarray(sim))
 
 
 # ---------------------------------------------------------------------------

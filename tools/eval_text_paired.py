@@ -37,8 +37,8 @@ import numpy as np
 def ranking_metrics(encoder, claims, docs) -> dict:
     q = np.asarray(encoder.encode_batch(claims), np.float32)
     d = np.asarray(encoder.encode_batch(docs), np.float32)
-    q /= np.linalg.norm(q, axis=-1, keepdims=True) + 1e-8
-    d /= np.linalg.norm(d, axis=-1, keepdims=True) + 1e-8
+    q = q / (np.linalg.norm(q, axis=-1, keepdims=True) + 1e-8)
+    d = d / (np.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
     cos = q @ d.T
     n = len(claims)
     order = np.argsort(-cos, axis=1)

@@ -274,16 +274,23 @@ def main():
     def save(p, tag=""):
         model.params = jax.device_get(p)
         model.save_pretrained(args.out)
+        meta = {"domain": "procedural-scenes",
+                "train": "pretrain_hf_clip.py",
+                "steps": args.steps, "pool": args.pool,
+                "seed": args.seed,
+                "geometry": "clip-vit-b32 vision768x12p32 text512x12"}
+        meta.update(cal)
         with open(os.path.join(args.out, "fvd_train_meta.json"), "w") as f:
-            json.dump({"domain": "procedural-scenes",
-                       "train": "pretrain_hf_clip.py",
-                       "steps": args.steps, "pool": args.pool,
-                       "seed": args.seed,
-                       "geometry": "clip-vit-b32 vision768x12p32 text512x12"},
-                      f)
-        print(f"[save{tag}] -> {args.out}", flush=True)
+            json.dump(meta, f)
+        print(f"[save{tag}] -> {args.out} ({cal or 'no cal yet'})", flush=True)
 
     state = {"params": params}
+    #: held-out cosine calibration onto the reference CLIP band (the
+    #: JaxClip convention, providers/hf_models.HFClip): offset = mean
+    #: mismatched cosine, scale = 0.35 / (matched - mismatched).  Written
+    #: into fvd_train_meta.json at final save so C2 scores through the
+    #: trained checkpoint land where the 0.25/0.15 thresholds expect.
+    cal: dict = {}
 
     def on_term(signum, frame):
         print(f"signal {signum}: saving before exit", flush=True)
@@ -336,6 +343,8 @@ def main():
     r1, dg, off = evaluate(params)
     print(f"[clip] FINAL held-out: retrieval@1={r1:.3f} diag-cos={dg:.3f} "
           f"off-cos={off:.3f}", flush=True)
+    cal.update(cal_offset=round(off, 6),
+               cal_scale=round(0.35 / max(dg - off, 1e-6), 6))
     save(params)
 
     if args.promote:
