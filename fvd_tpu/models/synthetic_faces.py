@@ -491,7 +491,8 @@ def detector_batch(rng: np.random.RandomState, batch: int, size: int = 300,
 
 def landmark_batch(rng: np.random.RandomState, batch: int, crop: int = 128,
                    augment: bool = False, photometric: bool = False,
-                   shaded: bool = False, hard_half: bool = False):
+                   shaded: bool = False, hard_half: bool = False,
+                   portrait: bool = False):
     """Training batch for the hourglass: (crops float 0..1, targets [B,68,2]
     in [0,1]) — rendered faces cropped around the gt box with jitter.
     ``augment`` applies the robustness augmentations to half of each batch;
@@ -513,7 +514,8 @@ def landmark_batch(rng: np.random.RandomState, batch: int, crop: int = 128,
                                     augment=aug_i,
                                     hard=aug_i if hard_half
                                     else (augment and i % 4 == 0),
-                                    shaded=shaded and i % 4 != 3)
+                                    shaded=shaded and i % 4 != 3,
+                                    portrait=portrait and aug_i)
         if photometric and augment and i % 2 == 0:
             img = photometric_randomize(img, rng)
         size = 256

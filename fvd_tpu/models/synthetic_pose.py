@@ -50,7 +50,7 @@ def warp_by_rotation(img: np.ndarray, R: np.ndarray, depth: float = 2.0) -> np.n
 def pose_batch(
     rng: np.random.RandomState, batch: int, max_angle: float = 40.0,
     augment: bool = False, photometric: bool = False, shaded: bool = False,
-    hard_half: bool = False,
+    hard_half: bool = False, portrait: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (crops float [B, 128, 128, 3] 0..1, R [B, 3, 3], euler_deg [B, 3]).
     ``augment`` applies the robustness augmentations to half of each batch;
@@ -70,7 +70,12 @@ def pose_batch(
         img, box, _ = render_face(rng, 192, augment=aug_i,
                                   hard=aug_i if hard_half
                                   else (augment and i % 4 == 0),
-                                  shaded=shaded and i % 4 != 3)
+                                  shaded=shaded and i % 4 != 3,
+                                  # hair/jaw/hat structure rotates with the
+                                  # head exactly like real accessory mass
+                                  # (round-5 lever; accessories are pose's
+                                  # binding held-out factor)
+                                  portrait=portrait and aug_i)
         if photometric and augment and i % 2 == 0:
             img = photometric_randomize(img, rng)
         x1, y1, x2, y2 = (box * 192).astype(int)

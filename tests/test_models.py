@@ -544,8 +544,7 @@ def test_ocr_detector_heldout_font_floor():
         pytest.skip("trained OCR detector checkpoint not present")
     from fvd_tpu.models.synthetic_text import detector_sample
 
-    params = encoders.load_params(
-        ckpt, ocr.init_detector(jax.random.PRNGKey(0), width=16))
+    params, det_width, det_arch = ocr.load_detector(ckpt)
     fonts = [cv2.FONT_HERSHEY_DUPLEX, cv2.FONT_HERSHEY_COMPLEX,
              cv2.FONT_HERSHEY_TRIPLEX,
              cv2.FONT_HERSHEY_SIMPLEX | cv2.FONT_ITALIC]
@@ -557,7 +556,8 @@ def test_ocr_detector_heldout_font_floor():
         img, mask = detector_sample(rng, font=fonts[rng.randint(len(fonts))])
         imgs[i] = img.astype(np.float32) / 255.0
         masks[i] = mask
-    prob = np.asarray(ocr.detect_forward(params, jnp.asarray(imgs), width=16))
+    prob = np.asarray(ocr.detect_forward(params, jnp.asarray(imgs),
+                                         width=det_width, arch=det_arch))
     pred, gt = prob > 0.5, masks > 0.5
     inter = (pred & gt).reshape(n, -1).sum(1)
     union = (pred | gt).reshape(n, -1).sum(1)

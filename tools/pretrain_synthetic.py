@@ -94,7 +94,7 @@ def train_detector(steps: int, batch: int, width: int, out: str, seed: int = 0,
 def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1,
                     resume: bool = False, lr: float = 1e-3, augment: bool = False,
                     photometric: bool = False, shading: bool = False,
-                    hard_half: bool = False):
+                    hard_half: bool = False, portrait: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -113,7 +113,8 @@ def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1,
     for i in range(steps):
         crops, targets = landmark_batch(rng, batch, augment=augment,
                                         photometric=photometric,
-                                        shaded=shading, hard_half=hard_half)
+                                        shaded=shading, hard_half=hard_half,
+                                        portrait=portrait)
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(crops), jnp.asarray(targets)
         )
@@ -139,7 +140,7 @@ def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1,
 def train_pose(steps: int, batch: int, width: int, out: str, seed: int = 2,
                resume: bool = False, lr: float = 1e-3, augment: bool = False,
                photometric: bool = False, shading: bool = False,
-               hard_half: bool = False):
+               hard_half: bool = False, portrait: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -166,7 +167,7 @@ def train_pose(steps: int, batch: int, width: int, out: str, seed: int = 2,
     for i in range(steps):
         crops, Rs, _ = pose_batch(rng, batch, augment=augment,
                                   photometric=photometric, shaded=shading,
-                                  hard_half=hard_half)
+                                  hard_half=hard_half, portrait=portrait)
         params, opt_state, loss = step(params, opt_state, jnp.asarray(crops),
                                        jnp.asarray(Rs))
         if i % 100 == 0 or i == steps - 1:
@@ -250,13 +251,13 @@ def main():
                         os.path.join(args.out_dir, "landmarks.npz"),
                         resume=args.resume, lr=args.lr, augment=args.augment,
                         photometric=args.photometric, shading=args.shading,
-                        hard_half=args.hard_half)
+                        hard_half=args.hard_half, portrait=args.portrait)
     if args.only in (None, "pose"):
         train_pose(args.steps, args.batch, 32,
                    os.path.join(args.out_dir, "pose.npz"),
                    resume=args.resume, lr=args.lr, augment=args.augment,
                    photometric=args.photometric, shading=args.shading,
-                   hard_half=args.hard_half)
+                   hard_half=args.hard_half, portrait=args.portrait)
 
 
 if __name__ == "__main__":
