@@ -331,11 +331,17 @@ def render_face(
         augment = True
     bg = (rng.uniform(0.3, 0.6) if hard else rng.rand()) if augment else 1.0
     if bg < 0.3:
-        # smooth gradient / solid background
+        # smooth gradient / solid background.  NOTE round-5 fix: the sum
+        # broadcast only to (size, 1, 3) — draw_face then drew the face
+        # into a 1-px-wide canvas (clipped to one column) while the GT box
+        # still claimed a face, and detector_batch's frames[i] assignment
+        # silently re-broadcast the faceless gradient to full width: label
+        # noise on every gradient-background augmented sample since the
+        # branch landed.  Materialize the full canvas BEFORE drawing.
         base = rng.rand(3) * 200
         ramp = np.linspace(0, rng.uniform(0, 90), size)
         img = np.clip(base[None, None] + ramp[:, None, None], 0, 255).astype(np.uint8)
-        img = np.ascontiguousarray(img)
+        img = np.ascontiguousarray(np.broadcast_to(img, (size, size, 3)))
     elif bg < 0.6:
         # structured background: sinusoidal stripes at a random orientation,
         # frequency and contrast over a gradient (real captures have walls,
