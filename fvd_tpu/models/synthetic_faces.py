@@ -204,6 +204,13 @@ def photometric_randomize(img: np.ndarray, rng: np.random.RandomState) -> np.nda
         out = cv2.filter2D(out, -1, kern)
     # sensor noise
     out = out + rng.randn(size_h, size_w, 3).astype(np.float32) * rng.uniform(0, 12)
+    # capture-tone desaturation (round-5): archival/low-saturation footage
+    # and near-grayscale photographs — mix toward luma so color is a cue,
+    # not a requirement (the real-photo probe image is heavily desaturated)
+    if rng.rand() < 0.3:
+        luma = out @ np.array([0.299, 0.587, 0.114], np.float32)
+        mix = rng.uniform(0.5, 1.0)
+        out = out * (1 - mix) + luma[..., None] * mix
     img = np.clip(out, 0, 255).astype(np.uint8)
     # JPEG codec artifacts
     if rng.rand() < 0.5:
@@ -275,6 +282,37 @@ def portrait_realism(img: np.ndarray, bg: np.ndarray, cx: float, cy: float,
         h_band = max(3, int(rng.uniform(0.08, 0.2) * fh))
         cv2.rectangle(img, (int(cx - 0.75 * fw), y0 - h_band),
                       (int(cx + 0.75 * fw), y0), bandc, -1)
+    # --- facial-feature detail: eye whites + iris/pupil, socket shadow,
+    # nose shadow + nostrils, two-tone lips.  Real faces' features are
+    # structured (sclera/iris contrast, nose shading), not flat dark
+    # ellipses; feature positions match draw_face's template, so landmark
+    # conventions are untouched
+    if rng.rand() < 0.6:
+        ew = max(2, int(fw * 0.09))
+        eh = max(1, int(fw * 0.05))
+        for exc in (-0.2, 0.2):
+            ex, ey = int(cx + exc * fw), int(cy - 0.12 * fh)
+            white = tuple(int(v) for v in rng.randint(200, 246, 3))
+            cv2.ellipse(img, (ex, ey), (ew, eh), 0, 0, 360, white, -1)
+            iris = tuple(int(v) for v in rng.randint(20, 120, 3))
+            ir = max(1, int(fw * 0.035))
+            ix = ex + int(rng.uniform(-0.3, 0.3) * ew)
+            cv2.circle(img, (ix, ey), ir, iris, -1)
+            cv2.circle(img, (ix, ey), max(1, ir // 2), (15, 12, 12), -1)
+            # upper-lid/socket shadow arc
+            cv2.ellipse(img, (ex, ey - eh), (ew + 1, eh), 0, 180, 360,
+                        (60, 45, 40), 1)
+        # nose shadow + nostrils
+        ny = int(cy + 0.10 * fh)
+        cv2.line(img, (int(cx - 0.01 * fw), int(cy - 0.05 * fh)),
+                 (int(cx - 0.03 * fw), ny), (90, 65, 60), 1)
+        for sx in (-1, 1):
+            cv2.circle(img, (int(cx + sx * 0.05 * fw), ny),
+                       max(1, int(fw * 0.015)), (70, 50, 45), -1)
+        # lip mid-line over the drawn mouth
+        my = int(cy + 0.28 * fh)
+        cv2.line(img, (int(cx - fw * 0.14), my), (int(cx + fw * 0.14), my),
+                 (70, 25, 25), 1)
     return img
 
 

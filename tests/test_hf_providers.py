@@ -84,6 +84,40 @@ def test_hf_clip_similarity():
     assert clip.image_text_similarity(img, "different words entirely") != pytest.approx(s1)
 
 
+def test_hf_clip_calibration_affine_and_identity():
+    """cal_offset/cal_scale (the JaxClip band convention, carried in
+    fvd_train_meta.json for first-party-trained checkpoints) must be an
+    exact affine map on the similarity outputs, and the default (genuine
+    weights: no meta) the identity."""
+    from transformers import CLIPConfig, CLIPTextConfig, CLIPVisionConfig, FlaxCLIPModel
+
+    config = CLIPConfig.from_text_vision_configs(
+        CLIPTextConfig(vocab_size=100, hidden_size=32, num_hidden_layers=2,
+                       num_attention_heads=4, intermediate_size=64,
+                       max_position_embeddings=16, projection_dim=32),
+        CLIPVisionConfig(hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+                         intermediate_size=64, image_size=64, patch_size=16,
+                         projection_dim=32),
+        projection_dim=32,
+    )
+    model = FlaxCLIPModel(config, seed=0)
+
+    def tokenize(texts):
+        ids = np.zeros((len(texts), 16), np.int32)
+        mask = np.ones((len(texts), 16), np.int32)
+        for i, t in enumerate(texts):
+            toks = [hash(w) % 99 + 1 for w in t.split()][:16]
+            ids[i, : len(toks)] = toks
+        return {"input_ids": ids, "attention_mask": mask}
+
+    raw = hf_models.HFClip(model, tokenize)
+    cal = hf_models.HFClip(model, tokenize, cal_offset=-0.2, cal_scale=0.5)
+    img = np.random.RandomState(1).randint(0, 255, (48, 80, 3)).astype(np.uint8)
+    s_raw = raw.image_text_similarity(img, "a face on screen")
+    s_cal = cal.image_text_similarity(img, "a face on screen")
+    assert s_cal == pytest.approx((s_raw + 0.2) * 0.5, abs=1e-6)
+
+
 def test_hf_whisper_transcribe_shapes(tmp_path):
     from transformers import FlaxWhisperForConditionalGeneration, WhisperConfig
 

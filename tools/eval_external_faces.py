@@ -84,6 +84,10 @@ def variants(img: np.ndarray, gt: np.ndarray):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--score-thresh", type=float, default=0.5)
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="probe checkpoints from this dir (candidate "
+                         "continuations) instead of the shipped ones")
+    ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
 
     import fvd_tpu
@@ -96,10 +100,15 @@ def main(argv=None) -> int:
     from fvd_tpu.models import face_ssd, landmarks_fan
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt_dir = os.path.abspath(args.ckpt_dir) if args.ckpt_dir else \
+        os.path.join(repo, "checkpoints")
     ssd_params = face_ssd.load_params(
-        os.path.join(repo, "checkpoints", "face_ssd.npz"), width=32)
+        os.path.join(ckpt_dir, "face_ssd.npz"), width=32)
+    lmk_path = os.path.join(ckpt_dir, "landmarks.npz")
+    if not os.path.exists(lmk_path):
+        lmk_path = os.path.join(repo, "checkpoints", "landmarks.npz")
     lmk_params = landmarks_fan.load_params(
-        os.path.join(repo, "checkpoints", "landmarks.npz"),
+        lmk_path,
         landmarks_fan.init_landmark_params(jax.random.PRNGKey(1), width=32))
 
     img = cv2.imread(hopper_path())  # BGR, matching the pipeline's frames
@@ -151,6 +160,9 @@ def main(argv=None) -> int:
         "landmarks": lmk,
     }
     print(json.dumps({"summary": summary}))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(summary, f, indent=1)
     return 0
 
 
