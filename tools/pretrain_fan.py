@@ -46,6 +46,7 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--stacks", type=int, default=4)
+    ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -70,6 +71,9 @@ def main():
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(params))
     print(f"FAN-geometry params: {n_params / 1e6:.1f}M", flush=True)
+    if args.resume and os.path.exists(args.out):
+        params = lf.load_params(args.out, params)
+        print(f"[fan] resumed params from {args.out}", flush=True)
 
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
