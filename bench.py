@@ -558,11 +558,22 @@ def main() -> None:
     if window_health:
         rtts = [v for v in (window_health.get("rtt_ms_start"),
                             window_health.get("rtt_ms_end")) if v is not None]
-        # healthy windows measure ~1-3 ms/dispatch; degraded 10-30+ (CLAUDE.md
-        # tunnel-behavior log) — classify on the better probe (a window that
-        # recovered mid-bench is healthy for the best/median passes)
-        window_health["classification"] = (
-            "healthy" if min(rtts) < 6.0 else "degraded")
+        # Two independent health signals: the serialized per-dispatch RTT
+        # (the probe) and the achieved overlapped throughput (the passes).
+        # They diverge by design — the pipeline overlaps 8 videos, so a
+        # 25 ms serialized RTT can coexist with >100 videos/min when the
+        # tunnel's BANDWIDTH is fine and only latency is high (measured
+        # 2026-08-21: rtt 25 ms with pass median 89).  A window is only
+        # called degraded when BOTH say so: high rtt AND the sustained
+        # median under the 50/min baseline target.
+        med_now = _median(pass_vpm) if pass_vpm else 0.0
+        window_health["median_vpm_at_probe"] = round(med_now, 2)
+        if min(rtts) < 6.0 or med_now >= 50.0:
+            window_health["classification"] = "healthy"
+        elif max(pass_vpm or [0.0]) >= 50.0:
+            window_health["classification"] = "mixed"
+        else:
+            window_health["classification"] = "degraded"
         _RESULT["window_health"] = _META["window_health"] = window_health
         log(f"window health: {window_health}")
 
