@@ -130,12 +130,20 @@ def production_providers(
         lmk_width = 64
     pose_ckpt = os.path.join(checkpoint_dir, "pose.npz")
     pose_params = None
+    pose_width = 32
     if os.path.exists(pose_ckpt):
-        template = landmarks_fan.init_pose_params(jax.random.PRNGKey(2), width=32)
+        pose_meta = pose_ckpt.replace(".npz", ".json")
+        if os.path.exists(pose_meta):
+            import json
+
+            with open(pose_meta) as f:
+                pose_width = int(json.load(f).get("width", 32))
+        template = landmarks_fan.init_pose_params(jax.random.PRNGKey(2),
+                                                  width=pose_width)
         pose_params = landmarks_fan.load_params(pose_ckpt, template)
     landmarks = landmarks_fan.FANLandmarks(
         detector, landmark_params=lmk_params, pose_params=pose_params,
-        width=lmk_width,
+        width=lmk_width, pose_width=pose_width,
     )
 
     if recorded_services:

@@ -65,9 +65,16 @@ def main(argv=None) -> int:
     lmk_tmpl = landmarks_fan.init_landmark_params(jax.random.PRNGKey(1), width=32)
     lmk_params = landmarks_fan.load_params(
         args.lmk_ckpt or os.path.join(ckpt_dir, "landmarks.npz"), lmk_tmpl)
-    pose_tmpl = landmarks_fan.init_pose_params(jax.random.PRNGKey(2), width=32)
-    pose_params = landmarks_fan.load_params(
-        args.pose_ckpt or os.path.join(ckpt_dir, "pose.npz"), pose_tmpl)
+    pose_path = args.pose_ckpt or os.path.join(ckpt_dir, "pose.npz")
+    pose_width = 32
+    if os.path.exists(pose_path.replace(".npz", ".json")):
+        import json as _json
+
+        with open(pose_path.replace(".npz", ".json")) as f:
+            pose_width = int(_json.load(f).get("width", 32))
+    pose_tmpl = landmarks_fan.init_pose_params(jax.random.PRNGKey(2),
+                                               width=pose_width)
+    pose_params = landmarks_fan.load_params(pose_path, pose_tmpl)
 
     def run_lmk(**factors) -> float:
         rng = np.random.RandomState(11)
@@ -103,7 +110,7 @@ def main(argv=None) -> int:
             crops[i] = warp_by_rotation(face, euler_to_matrix(*ang))
             eulers[i] = ang
         pred = np.asarray(landmarks_fan.pose_forward(
-            pose_params, jnp.asarray(crops), width=32))
+            pose_params, jnp.asarray(crops), width=pose_width))
         return float(np.mean(np.abs(pred - eulers)))
 
     print(f"{'factor':28s} {'lmk % of crop':>14s} {'pose mean deg':>14s}",

@@ -168,8 +168,16 @@ def eval_pose(n: int, seed: int = 13):
     from fvd_tpu.models import landmarks_fan
     from fvd_tpu.models.synthetic_pose import CROP_SIZE, euler_to_matrix, warp_by_rotation
 
-    template = landmarks_fan.init_pose_params(jax.random.PRNGKey(2), width=32)
-    params = landmarks_fan.load_params(os.path.join(CKPT, "pose.npz"), template)
+    pose_ckpt = os.path.join(CKPT, "pose.npz")
+    pose_width = 32
+    if os.path.exists(pose_ckpt.replace(".npz", ".json")):
+        import json as _json
+
+        with open(pose_ckpt.replace(".npz", ".json")) as f:
+            pose_width = int(_json.load(f).get("width", 32))
+    template = landmarks_fan.init_pose_params(jax.random.PRNGKey(2),
+                                              width=pose_width)
+    params = landmarks_fan.load_params(pose_ckpt, template)
 
     def run(renderer):
         rng = np.random.RandomState(seed)
@@ -187,7 +195,7 @@ def eval_pose(n: int, seed: int = 13):
             crops[i] = warp_by_rotation(face, R)
             eulers[i] = ang
         pred = np.asarray(landmarks_fan.pose_forward(params, jnp.asarray(crops),
-                                                     width=32))
+                                                     width=pose_width))
         return float(np.mean(np.abs(pred - eulers)))
 
     from fvd_tpu.models.synthetic_faces import render_face

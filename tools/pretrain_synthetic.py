@@ -182,7 +182,11 @@ def train_pose(steps: int, batch: int, width: int, out: str, seed: int = 2,
 
     os.makedirs(os.path.dirname(out), exist_ok=True)
     landmarks_fan.save_params(out, params)
-    print(f"[pose] saved {out}")
+    import json
+
+    with open(out.replace(".npz", ".json"), "w") as f:
+        json.dump({"width": width}, f)
+    print(f"[pose] saved {out} (width={width})")
     return err
 
 
@@ -192,6 +196,7 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--det-width", type=int, default=32)
     ap.add_argument("--lmk-width", type=int, default=32)
+    ap.add_argument("--pose-width", type=int, default=32)
     ap.add_argument("--out-dir", default="checkpoints")
     ap.add_argument("--only", choices=["det", "lmk", "pose"], default=None)
     ap.add_argument("--resume", action="store_true")
@@ -253,7 +258,7 @@ def main():
                         photometric=args.photometric, shading=args.shading,
                         hard_half=args.hard_half, portrait=args.portrait)
     if args.only in (None, "pose"):
-        train_pose(args.steps, args.batch, 32,
+        train_pose(args.steps, args.batch, args.pose_width,
                    os.path.join(args.out_dir, "pose.npz"),
                    resume=args.resume, lr=args.lr, augment=args.augment,
                    photometric=args.photometric, shading=args.shading,
