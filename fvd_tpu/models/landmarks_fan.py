@@ -676,6 +676,23 @@ def pose_loss(params, crops, target_R, width: int = 32):
     return jnp.mean(jnp.sum((R - target_R) ** 2, axis=(-1, -2)))
 
 
+def pose_consistency_loss(params, crops_a, crops_b, target_R,
+                          width: int = 32, lam: float = 1.0):
+    """Supervised loss on both branches of a same-face/same-rotation pair
+    (branch A clean, branch B accessory-perturbed;
+    synthetic_pose.pose_batch_paired) plus ``lam`` times the frobenius
+    divergence between the two predicted rotations.  Accessories change
+    appearance but not geometry, so the A/B divergence IS the
+    accessory-induced error the per-factor diagnostic pins — regularizing
+    it directly targets pose's binding held-out factor."""
+    Ra = rotation_6d_to_matrix(PoseHead(width=width).apply(params, crops_a))
+    Rb = rotation_6d_to_matrix(PoseHead(width=width).apply(params, crops_b))
+    sup = (jnp.mean(jnp.sum((Ra - target_R) ** 2, axis=(-1, -2))) +
+           jnp.mean(jnp.sum((Rb - target_R) ** 2, axis=(-1, -2)))) * 0.5
+    cons = jnp.mean(jnp.sum((Ra - Rb) ** 2, axis=(-1, -2)))
+    return sup + lam * cons
+
+
 def make_landmark_train_step(width: int = 64, lr: float = 1e-3):
     import optax
 

@@ -91,3 +91,81 @@ def pose_batch(
         Rs[i] = R
         eulers[i] = (pitch, yaw, roll)
     return crops, Rs, eulers
+
+
+def _accessory_pass(img: np.ndarray, box: np.ndarray, pts: np.ndarray,
+                    rng: np.random.RandomState, size: int) -> np.ndarray:
+    """Draw accessory strokes (landmark-anchored eye rings + bridge, crown
+    cap, random occluders) on a COPY of an already-rendered face — the
+    appearance perturbation half of the pose consistency pair.  Geometry
+    ranges mirror synthetic_faces.render_face's augment branch; the eye
+    rings anchor at the true eye-landmark centroids (pts 36-41 / 42-47),
+    the convention the held-out renderer uses."""
+    import cv2
+
+    out = img.copy()
+    x1, y1, x2, y2 = box * size
+    cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+    fw, fh = max(x2 - x1, 8.0), max(y2 - y1, 8.0)
+    face_mean = img[int(max(0, y1)):int(y2), int(max(0, x1)):int(x2)]
+    base = face_mean.reshape(-1, 3).mean(axis=0) if face_mean.size else np.full(3, 128.0)
+    stroke = tuple(int(c) for c in (base * rng.uniform(0.15, 0.6)))
+    if rng.rand() < 0.7:  # eye rings + bridge bar at the landmark centroids
+        l = pts[36:42].mean(axis=0).astype(int)
+        r = pts[42:48].mean(axis=0).astype(int)
+        rad = max(2, int(fw * rng.uniform(0.08, 0.16)))
+        th = rng.randint(1, 4)
+        cv2.circle(out, tuple(l), rad, stroke, th)
+        cv2.circle(out, tuple(r), rad, stroke, th)
+        cv2.line(out, tuple(l), tuple(r), stroke, th)
+    if rng.rand() < 0.7:  # filled crown cap (hair/hat-like)
+        cv2.ellipse(out, (int(cx), int(cy - rng.uniform(0.0, 0.2) * fh)),
+                    (int(fw * rng.uniform(0.4, 0.62)),
+                     int(fh * rng.uniform(0.35, 0.55))), 0, 180, 360, stroke, -1)
+    for _ in range(rng.randint(1, 4)):  # free occluders
+        color = tuple(int(c) for c in rng.randint(0, 255, 3))
+        p = (rng.randint(0, size), rng.randint(0, size))
+        if rng.rand() < 0.5:
+            q = (p[0] + rng.randint(5, size // 4), p[1] + rng.randint(3, size // 6))
+            cv2.rectangle(out, p, q, color, -1)
+        else:
+            cv2.ellipse(out, p, (rng.randint(4, size // 6), rng.randint(3, size // 8)),
+                        rng.uniform(0, 180), 0, 360, color, -1)
+    return out
+
+
+def pose_batch_paired(
+    rng: np.random.RandomState, batch: int, max_angle: float = 40.0,
+    photometric: bool = False, shaded: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (cropsA, cropsB float [B,128,128,3] 0..1, R [B,3,3]): the SAME
+    face under the SAME rotation, branch A clean and branch B with
+    accessory strokes (+ optional photometric shift) — training pairs for
+    the pose consistency loss.  The per-factor diagnostic pins pose's
+    held-out gap on the accessories factor: what accessories change is the
+    PREDICTION, not the geometry, so the divergence between the two
+    branches is exactly the error being regularized away (reference
+    capability anchor: SixDRepNet's real-capture robustness,
+    /root/reference/nodes/V_nodes/v4_blink_headpose_dynamics.py:133-135)."""
+    import cv2
+
+    size = 192
+    cropsA = np.zeros((batch, CROP_SIZE, CROP_SIZE, 3), np.float32)
+    cropsB = np.zeros((batch, CROP_SIZE, CROP_SIZE, 3), np.float32)
+    Rs = np.zeros((batch, 3, 3), np.float64)
+    for i in range(batch):
+        img, box, pts = render_face(rng, size,
+                                    shaded=shaded and rng.rand() < 0.75)
+        imgB = _accessory_pass(img, box, pts, rng, size)
+        if photometric and rng.rand() < 0.5:
+            imgB = photometric_randomize(imgB, rng)
+        x1, y1, x2, y2 = (box * size).astype(int)
+        R = euler_to_matrix(*rng.uniform(-max_angle, max_angle, 3))
+        for crops, src in ((cropsA, img), (cropsB, imgB)):
+            face = src[max(0, y1):y2, max(0, x1):x2]
+            if face.size == 0:
+                face = src
+            face = cv2.resize(face, (CROP_SIZE, CROP_SIZE))
+            crops[i] = warp_by_rotation(face, R).astype(np.float32) / 255.0
+        Rs[i] = R
+    return cropsA, cropsB, Rs

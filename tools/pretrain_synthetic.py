@@ -140,13 +140,14 @@ def train_landmarks(steps: int, batch: int, width: int, out: str, seed: int = 1,
 def train_pose(steps: int, batch: int, width: int, out: str, seed: int = 2,
                resume: bool = False, lr: float = 1e-3, augment: bool = False,
                photometric: bool = False, shading: bool = False,
-               hard_half: bool = False, portrait: bool = False):
+               hard_half: bool = False, portrait: bool = False,
+               consistency: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
 
     from fvd_tpu.models import landmarks_fan
-    from fvd_tpu.models.synthetic_pose import pose_batch
+    from fvd_tpu.models.synthetic_pose import pose_batch, pose_batch_paired
 
     rng = np.random.RandomState(seed)
     params = landmarks_fan.init_pose_params(jax.random.PRNGKey(seed), width=width)
@@ -163,8 +164,25 @@ def train_pose(steps: int, batch: int, width: int, out: str, seed: int = 2,
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    @jax.jit
+    def cstep(params, opt_state, crops_a, crops_b, target_R):
+        loss, grads = jax.value_and_grad(landmarks_fan.pose_consistency_loss)(
+            params, crops_a, crops_b, target_R, width=width)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
     t0 = time.perf_counter()
     for i in range(steps):
+        if consistency and i % 2 == 1:
+            # odd steps: same-face / same-rotation pairs, divergence
+            # penalized (the accessories-factor lever)
+            ca, cb, Rs = pose_batch_paired(rng, max(batch // 2, 4),
+                                           photometric=photometric,
+                                           shaded=shading)
+            params, opt_state, loss = cstep(params, opt_state,
+                                            jnp.asarray(ca), jnp.asarray(cb),
+                                            jnp.asarray(Rs))
+            continue
         crops, Rs, _ = pose_batch(rng, batch, augment=augment,
                                   photometric=photometric, shaded=shading,
                                   hard_half=hard_half, portrait=portrait)
@@ -215,6 +233,11 @@ def main():
                          "(accessories p0.9 + dense occluders) — targets "
                          "the accessories factor the round-4 diagnostic "
                          "pinned as pose's held-out binder")
+    ap.add_argument("--consistency", action="store_true",
+                    help="pose: interleave same-face/same-rotation pairs "
+                         "(clean vs accessory-perturbed) with the prediction-"
+                         "divergence penalty — targets the accessories "
+                         "held-out factor without narrowing the data mix")
     ap.add_argument("--portrait", action="store_true",
                     help="det: portrait-structure realism on the augmented "
                          "samples — hair mass with texture, non-elliptical "
@@ -262,7 +285,8 @@ def main():
                    os.path.join(args.out_dir, "pose.npz"),
                    resume=args.resume, lr=args.lr, augment=args.augment,
                    photometric=args.photometric, shading=args.shading,
-                   hard_half=args.hard_half, portrait=args.portrait)
+                   hard_half=args.hard_half, portrait=args.portrait,
+                   consistency=args.consistency)
 
 
 if __name__ == "__main__":
